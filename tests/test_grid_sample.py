@@ -1,0 +1,55 @@
+"""Bit-parity of grid sampling vs torch.F.grid_sample (CPU golden)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from uforecon_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d, in_bounds_mask
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_2d_parity(rng, align_corners, padding_mode):
+    N, H, W, C = 2, 7, 9, 5
+    img = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    # include far out-of-bounds and exact-boundary points
+    grid = (rng.random((N, 11, 13, 2)).astype(np.float32) * 4.0) - 2.0
+    grid[0, 0, 0] = [-1.0, -1.0]
+    grid[0, 0, 1] = [1.0, 1.0]
+    grid[0, 0, 2] = [0.0, 0.0]
+
+    ours = np.asarray(grid_sample_2d(img, grid, align_corners, padding_mode))
+
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    t_out = F.grid_sample(
+        t_img, torch.from_numpy(grid), mode="bilinear",
+        padding_mode=padding_mode, align_corners=align_corners,
+    )
+    ref = t_out.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_3d_parity(rng, align_corners, padding_mode):
+    N, D, H, W, C = 2, 4, 5, 6, 3
+    vol = rng.standard_normal((N, D, H, W, C)).astype(np.float32)
+    grid = (rng.random((N, 3, 8, 3)).astype(np.float32) * 3.0) - 1.5
+
+    ours = np.asarray(grid_sample_3d(vol, grid, align_corners, padding_mode))
+
+    t_vol = torch.from_numpy(vol).permute(0, 4, 1, 2, 3)  # N C D H W
+    # torch 5D grid: (N, D_out, H_out, W_out, 3); treat our (3, 8) as (1, 3, 8)
+    t_grid = torch.from_numpy(grid)[:, None]
+    t_out = F.grid_sample(
+        t_vol, t_grid, mode="bilinear",
+        padding_mode=padding_mode, align_corners=align_corners,
+    )  # N C 1 3 8
+    ref = t_out[:, :, 0].permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_in_bounds_mask(rng):
+    grid = np.array([[[[-1.0, 0.0], [1.01, 0.0], [0.5, -2.0], [1.0, 1.0]]]], np.float32)
+    m = np.asarray(in_bounds_mask(grid))
+    np.testing.assert_array_equal(m[0, 0], [1.0, 0.0, 0.0, 1.0])

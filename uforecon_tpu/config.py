@@ -1,0 +1,200 @@
+"""Typed configuration for UFORecon-TPU.
+
+One dataclass replaces the reference's argparse-`args` object that is threaded
+through every module (reference: main.py:37-104). Knob names are kept
+identical to the reference CLI flags so shipped scripts translate 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- generic -----------------------------------------------------------
+    dataset: str = "dtu"                 # dtu | general
+    root_dir: str = "./DTU"
+    logdir: str = "./logdir"
+    out_dir: str = "./outputs"
+    debug: bool = False
+    use_mask: bool = False
+    exp_name: str = "uforecon_tpu"
+    seed: int = 0
+
+    # ---- training ----------------------------------------------------------
+    batch_size: int = 1
+    max_epochs: int = 16
+    uforecon_lr: float = 1e-4
+    weight_rgb: float = 1.0
+    weight_depth: float = 1.0
+    train_n_view: int = 5                # ref + 4 source views
+    view_selection_type: str = "best"    # best | random
+    load_ckpt: str = ""
+
+    # ---- ray sampling ------------------------------------------------------
+    train_ray_num: int = 1024
+    coarse_sample: int = 64
+    fine_sample: int = 64
+    test_sample_coarse: int = 64
+    test_sample_fine: int = 64
+    sample_radius: float = 1.3
+    patch_size: int = 1
+    sW: int = 1
+    sH: int = 1
+
+    # ---- testing -----------------------------------------------------------
+    extract_geometry: bool = False
+    test_general: bool = False
+    test_n_view: int = 3
+    test_ray_num: int = 800
+    test_ref_view: Tuple[int, ...] = (23, 24, 33)
+    test_scan: str = "scan1"
+    set: int = 0
+    test_coarse_only: bool = False
+    test_dir: str = ""
+
+    # ---- correlation / cascade MVS ----------------------------------------
+    ndepths: Tuple[int, ...] = (48, 32, 8)
+    depth_inter_r: Tuple[float, ...] = (4.0, 2.0, 1.0)
+    cr_base_chs: Tuple[int, ...] = (8, 8, 8)
+    numdepth: int = 192                  # depth hypotheses fed to stage 1
+    share_cr: bool = False
+    grad_method: str = "detach"          # detach | undetached
+
+    # ---- model / ablations ---------------------------------------------
+    volume_type: str = "correlation"     # correlation | featuregrid
+    volume_reso: int = 96
+    mvs_depth_guide: int = 1
+    depth_pos_encoding: bool = True
+    explicit_similarity: bool = True
+    use_dir_srdf: bool = False
+    only_reference_frustum: bool = False
+    fmt_d_model: int = 32
+    fmt_nhead: int = 8
+    fmt_layer_names: Tuple[str, ...] = ("self", "cross") * 4
+    img_feat_dim: int = 32
+    fea_volume_dim: int = 24             # 8ch x 3 cascade stages
+    cos_n_group: int = 8
+
+    # ---- TPU execution ------------------------------------------------
+    compute_dtype: str = "float32"       # float32 | bfloat16 for network matmuls
+    mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
+    donate_buffers: bool = True
+
+    # ------------------------------------------------------------------
+    @property
+    def num_stages(self) -> int:
+        return len(self.ndepths)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # dims that the ray transformer sees (reference: ray_transformer.py:104-163)
+    @property
+    def sim_feat_fix(self) -> int:
+        return 16 if self.explicit_similarity else 0
+
+    @property
+    def depth_dim(self) -> int:
+        if self.mvs_depth_guide > 0 and self.depth_pos_encoding:
+            return 8  # PositionalEncodingNeRF(num_freqs=4, d_in=1).d_out
+        return 0
+
+    @property
+    def dir_dim(self) -> int:
+        return 27 if self.use_dir_srdf else 0  # 4 freqs * 2 * 3 + 3 (include_input)
+
+    @property
+    def view_trans_dim(self) -> int:
+        vol = self.fea_volume_dim if self.volume_reso > 0 else 0
+        return self.img_feat_dim + vol + self.sim_feat_fix + self.depth_dim + self.dir_dim
+
+    @property
+    def ray_trans_dim(self) -> int:
+        return self.view_trans_dim + 8  # + PE_d_hid
+
+
+def config_from_args(argv: Optional[List[str]] = None) -> Config:
+    """Parse reference-compatible CLI flags into a Config."""
+    import argparse
+
+    p = argparse.ArgumentParser("uforecon_tpu")
+    dflt = Config()
+    p.add_argument("--dataset", type=str, default=dflt.dataset)
+    p.add_argument("--root_dir", type=str, default=dflt.root_dir)
+    p.add_argument("--logdir", type=str, default=dflt.logdir)
+    p.add_argument("--out_dir", type=str, default=dflt.out_dir)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--use_mask", action="store_true")
+    p.add_argument("--exp_name", type=str, default=dflt.exp_name)
+    p.add_argument("--seed", type=int, default=dflt.seed)
+    p.add_argument("--batch_size", type=int, default=dflt.batch_size)
+    p.add_argument("--max_epochs", type=int, default=dflt.max_epochs)
+    p.add_argument("--uforecon_lr", type=float, default=dflt.uforecon_lr)
+    p.add_argument("--weight_rgb", type=float, default=dflt.weight_rgb)
+    p.add_argument("--weight_depth", type=float, default=dflt.weight_depth)
+    p.add_argument("--train_n_view", type=int, default=dflt.train_n_view)
+    p.add_argument("--view_selection_type", type=str, default=dflt.view_selection_type)
+    p.add_argument("--load_ckpt", type=str, default=dflt.load_ckpt)
+    p.add_argument("--train_ray_num", type=int, default=dflt.train_ray_num)
+    p.add_argument("--coarse_sample", type=int, default=dflt.coarse_sample)
+    p.add_argument("--fine_sample", type=int, default=dflt.fine_sample)
+    p.add_argument("--test_sample_coarse", type=int, default=dflt.test_sample_coarse)
+    p.add_argument("--test_sample_fine", type=int, default=dflt.test_sample_fine)
+    p.add_argument("--patch_size", type=int, default=dflt.patch_size)
+    p.add_argument("--sW", type=int, default=dflt.sW)
+    p.add_argument("--sH", type=int, default=dflt.sH)
+    p.add_argument("--extract_geometry", action="store_true")
+    p.add_argument("--test_general", action="store_true")
+    p.add_argument("--test_n_view", type=int, default=dflt.test_n_view)
+    p.add_argument("--test_ray_num", type=int, default=dflt.test_ray_num)
+    p.add_argument("--test_ref_view", type=int, nargs="+", default=list(dflt.test_ref_view))
+    p.add_argument("--test_scan", type=str, default=dflt.test_scan)
+    p.add_argument("--set", type=int, default=dflt.set)
+    p.add_argument("--test_coarse_only", action="store_true")
+    p.add_argument("--test_dir", type=str, default=dflt.test_dir)
+    p.add_argument("--ndepths", type=str, default="48,32,8")
+    p.add_argument("--depth_inter_r", type=str, default="4,2,1")
+    p.add_argument("--cr_base_chs", type=str, default="8,8,8")
+    p.add_argument("--numdepth", type=int, default=dflt.numdepth)
+    p.add_argument("--share_cr", action="store_true")
+    p.add_argument("--grad_method", type=str, default=dflt.grad_method)
+    p.add_argument("--volume_type", type=str, default=dflt.volume_type)
+    p.add_argument("--volume_reso", type=int, default=dflt.volume_reso)
+    p.add_argument("--mvs_depth_guide", type=int, default=dflt.mvs_depth_guide)
+    p.add_argument("--depth_pos_encoding", action="store_true")
+    p.add_argument("--explicit_similarity", action="store_true")
+    p.add_argument("--use_dir_srdf", action="store_true")
+    p.add_argument("--only_reference_frustum", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default=dflt.compute_dtype)
+    p.add_argument("--mesh_shape", type=str, default="1")
+    a = p.parse_args(argv)
+
+    def ints(s):
+        return tuple(int(x) for x in str(s).split(",") if x)
+
+    def floats(s):
+        return tuple(float(x) for x in str(s).split(",") if x)
+
+    return Config(
+        dataset=a.dataset, root_dir=a.root_dir, logdir=a.logdir, out_dir=a.out_dir,
+        debug=a.debug, use_mask=a.use_mask, exp_name=a.exp_name, seed=a.seed,
+        batch_size=a.batch_size, max_epochs=a.max_epochs, uforecon_lr=a.uforecon_lr,
+        weight_rgb=a.weight_rgb, weight_depth=a.weight_depth, train_n_view=a.train_n_view,
+        view_selection_type=a.view_selection_type, load_ckpt=a.load_ckpt,
+        train_ray_num=a.train_ray_num, coarse_sample=a.coarse_sample,
+        fine_sample=a.fine_sample, test_sample_coarse=a.test_sample_coarse,
+        test_sample_fine=a.test_sample_fine, patch_size=a.patch_size, sW=a.sW, sH=a.sH,
+        extract_geometry=a.extract_geometry, test_general=a.test_general,
+        test_n_view=a.test_n_view, test_ray_num=a.test_ray_num,
+        test_ref_view=tuple(a.test_ref_view), test_scan=a.test_scan, set=a.set,
+        test_coarse_only=a.test_coarse_only, test_dir=a.test_dir,
+        ndepths=ints(a.ndepths), depth_inter_r=floats(a.depth_inter_r),
+        cr_base_chs=ints(a.cr_base_chs), numdepth=a.numdepth, share_cr=a.share_cr,
+        grad_method=a.grad_method, volume_type=a.volume_type, volume_reso=a.volume_reso,
+        mvs_depth_guide=a.mvs_depth_guide, depth_pos_encoding=a.depth_pos_encoding,
+        explicit_similarity=a.explicit_similarity, use_dir_srdf=a.use_dir_srdf,
+        only_reference_frustum=a.only_reference_frustum,
+        compute_dtype=a.compute_dtype, mesh_shape=ints(a.mesh_shape),
+    )
