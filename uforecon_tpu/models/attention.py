@@ -1,0 +1,136 @@
+"""Linear-attention transformer blocks (flax.linen).
+
+Covers both attention stacks of the reference:
+  * the FMT encoder layer used by the cross-view matching transformer
+    (reference: code1/encoder_utils/fmt/FMT.py:17-112)
+  * the LoFTR encoder layer used by the ray/view transformers
+    (reference: code1/attention/transformer.py:7-102,
+     code1/attention/linear_attention.py:14-47)
+
+Linear attention (elu(x)+1 feature map, "Transformers are RNNs") keeps the
+32k-token matching sequences O(N d^2): on TPU each step is two einsum
+contractions that map straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Linear attention over (B, L, H, D) tensors.
+
+    V' = phi(Q) (phi(K)^T V) / (phi(Q) sum(phi(K)))  with phi(x)=elu(x)+1.
+    Matches both reference implementations (FMT.py:23-38 and
+    linear_attention.py:20-47 — the /v_length trick cancels exactly).
+    """
+    qf = jax.nn.elu(q) + 1.0
+    kf = jax.nn.elu(k) + 1.0
+    hp = jax.lax.Precision.HIGHEST
+    kv = jnp.einsum("bshd,bshm->bhmd", kf, v, precision=hp)
+    z = 1.0 / (jnp.einsum("blhd,bhd->blh", qf, kf.sum(axis=1), precision=hp) + _EPS)
+    return jnp.einsum("blhd,bhmd,blh->blhm", qf, kv, z, precision=hp)
+
+
+def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Exact softmax attention over (B, L, H, D) (reference
+    linear_attention.py:50-81); used only for tiny sequences."""
+    hp = jax.lax.Precision.HIGHEST
+    qk = jnp.einsum("blhd,bshd->blsh", q, k, precision=hp)
+    a = jax.nn.softmax(qk / (q.shape[-1] ** 0.5), axis=2)
+    return jnp.einsum("blsh,bshd->blhd", a, v, precision=hp)
+
+
+class FMTEncoderLayer(nn.Module):
+    """Pre-residual encoder layer of the matching transformer
+    (reference FMT.py:79-112)."""
+
+    d_model: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        s = source.shape[1]
+        h = self.n_heads
+        dk = self.d_model // h
+
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(source)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(source)
+        msg = linear_attention(
+            q.reshape(b, l, h, dk), k.reshape(b, s, h, dk), v.reshape(b, s, h, dk)
+        ).reshape(b, l, self.d_model)
+        msg = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(msg)
+
+        x = x + msg
+        y = x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = nn.relu(nn.Dense(2 * self.d_model, dtype=self.dtype, name="ff1")(y))
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
+
+
+class LoFTREncoderLayer(nn.Module):
+    """Post-concat encoder layer of the ray/view transformers
+    (reference attention/transformer.py:7-58)."""
+
+    d_model: int
+    n_heads: int
+    attention: str = "linear"  # 'linear' | 'full'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        s = source.shape[1]
+        h = self.n_heads
+        dk = self.d_model // h
+
+        q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="k_proj")(source)
+        v = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="v_proj")(source)
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = attn(
+            q.reshape(b, l, h, dk), k.reshape(b, s, h, dk), v.reshape(b, s, h, dk)
+        ).reshape(b, l, self.d_model)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=jnp.float32, name="norm1")(msg)
+
+        msg = jnp.concatenate([x, msg], axis=-1)
+        msg = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype, name="mlp1")(msg)
+        msg = nn.relu(msg)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="mlp2")(msg)
+        msg = nn.LayerNorm(dtype=jnp.float32, name="norm2")(msg)
+        return x + msg
+
+
+class LocalFeatureTransformer(nn.Module):
+    """Stack of LoFTR layers driven by a self/cross schedule
+    (reference attention/transformer.py:61-102)."""
+
+    d_model: int
+    n_heads: int
+    layer_names: Sequence[str] = ("self",)
+    attention: str = "linear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat0: jnp.ndarray, feat1: jnp.ndarray | None = None) -> jnp.ndarray:
+        for i, name in enumerate(self.layer_names):
+            layer = LoFTREncoderLayer(
+                self.d_model, self.n_heads, self.attention, self.dtype,
+                name=f"layer_{i}",
+            )
+            if name == "self":
+                feat0 = layer(feat0, feat0)
+            elif name == "cross":
+                feat0 = layer(feat0, feat1)
+            else:
+                raise KeyError(name)
+        return feat0

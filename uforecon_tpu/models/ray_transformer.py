@@ -1,0 +1,227 @@
+"""RayTransformer: per-point view aggregation + along-ray SRDF head.
+
+TPU-native rewrite of the reference RayTransformer
+(reference: code1/ray_transformer.py:86-331). Per sample point it fuses:
+  * grid-sampled source image features (32d, backbone stage1),
+  * correlation-volume features (24d, query_depth_from_volume),
+  * explicit pairwise similarity (8 cosine groups -> 16d via pre_sim_mlp),
+  * MVS-depth positional encoding (8d NeRF PE of sampled-depth minus cam-z),
+then runs a learnable view token through a linear-attention view transformer,
+a ray transformer along the sample axis with order positional encoding, an
+SRDF MLP, and a masked-softmax radiance blend over views.
+
+Shapes are batch-free (the reference runs B=1 everywhere); vmap to batch.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample_2d, grid_sample_3d, in_bounds_mask
+from ..ops.posenc import nerf_posenc, order_posenc
+from .attention import LocalFeatureTransformer
+from .layers import MLP
+
+
+def query_correlation_volume(
+    points: jnp.ndarray,                 # (RN, SN, 3) world points
+    source_poses: jnp.ndarray,           # (NV, 4, 4) NDC projections
+    volumes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    near_far: Tuple[jnp.ndarray, jnp.ndarray],
+) -> jnp.ndarray:
+    """Weighted fusion of per-view multi-stage correlation-frustum features.
+
+    Reference: model.py:350-390 query_depth_from_volume. Each view's three
+    cost volumes live in that view's NDC frustum (x, y pixel NDC; z depth
+    normalized to [-1,1] by the scene near/far). Features from all stages are
+    concatenated (8ch x 3 = 24) and fused across views by the summed stage
+    weights: G = sum_n f_n w_n / sum_n w_n.
+
+    Args:
+      volumes: stage -> (feature_volumes (NV, D_s, h_s, w_s, 8),
+                         weight_volumes (NV, D_s, h_s, w_s, 1)).
+
+    Returns:
+      (RN, SN, 24) fused features.
+    """
+    from ..ops.camera import project_points_ndc
+
+    near, far = near_far
+    _, xyz, _ = project_points_ndc(source_poses, points, near_far=(near, far))
+    # xyz: (NV, RN, SN, 3) with z in [-1, 1]
+
+    feats_per_stage = []
+    weight_sum = 0.0
+    for stage, (fv, wv) in volumes.items():
+        f = grid_sample_3d(fv, xyz, align_corners=True, padding_mode="zeros")
+        w = grid_sample_3d(wv, xyz, align_corners=True, padding_mode="zeros")
+        feats_per_stage.append(f)   # (NV, RN, SN, 8)
+        weight_sum = weight_sum + w  # (NV, RN, SN, 1)
+    feats = jnp.concatenate(feats_per_stage, axis=-1)  # (NV, RN, SN, 24)
+
+    g = jnp.sum(feats * weight_sum, axis=0)
+    w_all = jnp.sum(weight_sum, axis=0)
+    return g / (w_all + 1e-8)
+
+
+def query_similarity(
+    points: jnp.ndarray,        # (RN, SN, 3) or (P3,) flat grid for fields
+    source_poses: jnp.ndarray,  # (NV, 4, 4)
+    aug0: jnp.ndarray,          # (P, h, w, C) pairwise match features, view i
+    aug1: jnp.ndarray,          # (P, h, w, C) pairwise match features, view j
+    pairs_i: jnp.ndarray,       # (P,) first view index of each pair
+    pairs_j: jnp.ndarray,       # (P,) second view index
+    n_groups: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Explicit pairwise feature similarity (reference model.py:218-305).
+
+    For every view pair (i, j): sample view-i's matched feature at the
+    projection into view i and view-j's at the projection into view j
+    (align_corners=True, border padding — gmflow_utils.py:83), split channels
+    into ``n_groups`` groups, cosine similarity per group, mean over pairs.
+
+    Returns:
+      feat_info: (..., n_groups) mean per-group cosine similarity.
+      xy:        (NV, ..., 2) projections (reusable by the ray transformer).
+      valid:     (NV, ...) positive-depth mask.
+    """
+    from ..ops.camera import project_points_ndc
+
+    xy, _, valid = project_points_ndc(source_poses, points)
+
+    sampled_i = grid_sample_2d(aug0, xy[pairs_i], align_corners=True,
+                               padding_mode="border")  # (P, ..., C)
+    sampled_j = grid_sample_2d(aug1, xy[pairs_j], align_corners=True,
+                               padding_mode="border")
+
+    p, *lead, c = sampled_i.shape
+    gi = sampled_i.reshape(p, *lead, n_groups, c // n_groups)
+    gj = sampled_j.reshape(p, *lead, n_groups, c // n_groups)
+    hp = jax.lax.Precision.HIGHEST
+    dot = jnp.sum(gi * gj, axis=-1)
+    ni = jnp.sqrt(jnp.sum(gi * gi, axis=-1))
+    nj = jnp.sqrt(jnp.sum(gj * gj, axis=-1))
+    # torch CosineSimilarity clamps the denominator at eps=1e-8
+    cos = dot / jnp.maximum(ni * nj, 1e-8)
+    return jnp.mean(cos, axis=0), xy, valid
+
+
+class RayTransformer(nn.Module):
+    """View + ray linear-attention SRDF head (ray_transformer.py:86-322)."""
+
+    img_feat_dim: int = 32
+    fea_volume_dim: int = 24
+    sim_feat_dim: int = 8      # cosine groups in
+    sim_feat_fix: int = 16     # pre_sim_mlp out
+    depth_dim: int = 8         # NeRF PE of mvs-depth distance
+    use_dir_srdf: bool = False
+    pe_d_hid: int = 8
+    n_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_view(self) -> int:
+        d = self.img_feat_dim + self.fea_volume_dim + self.sim_feat_fix + self.depth_dim
+        if self.use_dir_srdf:
+            d += 27
+        return d
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,              # (RN, SN, 3)
+        source_imgs: jnp.ndarray,         # (NV, H, W, 3)
+        source_feats: jnp.ndarray,        # (NV, h1, w1, C)
+        ref_cam_pos: jnp.ndarray,         # (3,) reference camera center
+        src_cam_pos: jnp.ndarray,         # (NV, 3) source camera centers
+        src_w2cs: jnp.ndarray,            # (NV, 4, 4)
+        points_xy: jnp.ndarray,           # (NV, RN, SN, 2) NDC projections
+        valid_depth: jnp.ndarray,         # (NV, RN, SN)
+        fea_volume_feat: Optional[jnp.ndarray] = None,  # (RN, SN, Dv)
+        sim_feat: Optional[jnp.ndarray] = None,         # (RN, SN, 8)
+        mvs_depths: Optional[jnp.ndarray] = None,       # (NV, H, W)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        rn, sn, _ = points.shape
+        nv = source_imgs.shape[0]
+        hp = jax.lax.Precision.HIGHEST
+
+        # relative viewing directions (ray_transformer.py:185-191)
+        v1 = points[None] - ref_cam_pos.reshape(1, 1, 1, 3)
+        v2 = points[None] - src_cam_pos.reshape(nv, 1, 1, 3)
+        v1 = v1 / jnp.linalg.norm(v1, axis=-1, keepdims=True)
+        v2 = v2 / jnp.linalg.norm(v2, axis=-1, keepdims=True)
+        dir_relative = v1 - v2  # (NV, RN, SN, 3)
+
+        # sample features / rgb at projections (align=False, zeros; the
+        # in-bounds mask is the validity signal — ray_transformer.py:222-254)
+        img_feat = grid_sample_2d(source_feats, points_xy)  # (NV, RN, SN, C)
+        img_rgb = grid_sample_2d(source_imgs, points_xy)    # (NV, RN, SN, 3)
+        mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
+
+        # assemble view-token features: (RN*SN, NV, C)
+        x = img_feat.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
+        if fea_volume_feat is not None:
+            vol = fea_volume_feat.reshape(rn * sn, 1, -1)
+            x = jnp.concatenate([x, jnp.broadcast_to(vol, (rn * sn, nv, vol.shape[-1]))], axis=-1)
+        if sim_feat is not None:
+            s = MLP((32, 32, self.sim_feat_fix), dtype=self.dtype,
+                    name="pre_sim_mlp")(sim_feat)
+            s = s.reshape(rn * sn, 1, -1)
+            x = jnp.concatenate([x, jnp.broadcast_to(s, (rn * sn, nv, s.shape[-1]))], axis=-1)
+        if mvs_depths is not None:
+            # depth distance PE (ray_transformer.py:229-247)
+            d_sampled = grid_sample_2d(mvs_depths[..., None], points_xy)[..., 0]
+            cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
+                             precision=hp) + src_w2cs[:, None, None, :3, 3]
+            depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)
+            pe = nerf_posenc(depth_dist[..., None], num_freqs=4)  # (NV, RN, SN, 8)
+            pe = pe.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
+            x = jnp.concatenate([x, pe], axis=-1)
+        if self.use_dir_srdf:
+            dpe = nerf_posenc(dir_relative, num_freqs=4, include_input=True)
+            dpe = dpe.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
+            x = jnp.concatenate([x, dpe], axis=-1)
+
+        # learnable view token (ray_transformer.py:325-331)
+        token = self.param("view_token", nn.initializers.normal(1.0),
+                           (1, self.d_view))
+        token = jnp.broadcast_to(token[None], (rn * sn, 1, self.d_view))
+        x = jnp.concatenate([token.astype(x.dtype), x], axis=1)
+
+        x = LocalFeatureTransformer(
+            d_model=self.d_view, n_heads=self.n_heads, layer_names=("self",),
+            dtype=self.dtype, name="density_view_transformer",
+        )(x)
+
+        token_out = x[:, 0]          # (RN*SN, C)
+        view_feature = x[:, 1:]      # (RN*SN, NV, C)
+
+        # ray transformer with order positional encoding
+        y = token_out.reshape(rn, sn, -1)
+        pe_order = jnp.asarray(order_posenc(self.pe_d_hid, sn), y.dtype)
+        y = jnp.concatenate(
+            [y, jnp.broadcast_to(pe_order[None], (rn, sn, self.pe_d_hid))], axis=-1
+        )
+        y = LocalFeatureTransformer(
+            d_model=self.d_view + self.pe_d_hid, n_heads=self.n_heads,
+            layer_names=("self",), dtype=self.dtype,
+            name="density_ray_transformer",
+        )(y)
+
+        srdf = MLP((32, 16, 1), dtype=self.dtype, name="density_mlp")(y)[..., 0]
+
+        # radiance: masked softmax blend over views (ray_transformer.py:310-321)
+        vf = view_feature.reshape(rn, sn, nv, -1)
+        dr = dir_relative.transpose(1, 2, 0, 3)  # (RN, SN, NV, 3)
+        xw = jnp.concatenate([vf, dr], axis=-1)
+        xw = MLP((16, 8, 1), dtype=self.dtype,
+                 name="linear_radianceweight_1_softmax")(xw)
+        m = mask.transpose(1, 2, 0)[..., None]  # (RN, SN, NV, 1)
+        xw = jnp.where(m == 0, -1e9, xw)
+        w = jax.nn.softmax(xw, axis=-2)
+        radiance = jnp.sum(img_rgb.transpose(1, 2, 0, 3) * w, axis=2)  # (RN, SN, 3)
+
+        return radiance, srdf

@@ -1,0 +1,228 @@
+"""UFORecon-TPU top model: encoder pass + jittable ray-chunk renderer.
+
+Functional re-composition of the reference LightningModule
+(reference: code1/model.py:28-911). The model splits into two pure stages:
+
+  * ``encode``  — run once per scene/view-set: CascadeMatcher (FeatureNet +
+    FMT + cascade over view rotations), correlation-volume heads
+    (CostRegNetWeight per stage) or the global FeatureVolume, pairwise match
+    features. Mirrors model.py:492-534 / 761-811 step 0.
+  * ``render_chunk`` — run per ray chunk under jit: coarse stratified
+    sampling, similarity + volume queries, RayTransformer, NeuS rendering,
+    importance resampling, merged fine pass. Mirrors model.py:308-482
+    (sample2rgb + infer).
+
+Both are methods of one flax module so parameters live in a single tree.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import camera as cam_ops
+from ..ops.grid_sample import grid_sample_3d
+from ..ops.rendering import neus_render
+from ..ops.sampling import merge_z_sorted, sample_coarse, sample_importance
+from .cascade import CascadeMatcher
+from .ray_transformer import (
+    RayTransformer,
+    query_correlation_volume,
+    query_similarity,
+)
+from .volumes import CostRegNetWeight, FeatureVolume
+
+
+class SceneInputs(NamedTuple):
+    """Static per-scene tensors consumed by the renderer (all jnp arrays).
+
+    This is the TPU-side half of the reference sample dict (SURVEY.md
+    inter-layer contract #1); the data layer builds it on host.
+    """
+
+    source_imgs: jnp.ndarray       # (NV, H, W, 3)
+    source_poses: jnp.ndarray      # (NV, 4, 4) NDC projections
+    src_cam_pos: jnp.ndarray       # (NV, 3) camera centers (poses_inv[:3,-1])
+    ref_cam_pos: jnp.ndarray       # (3,)
+    src_w2cs: jnp.ndarray          # (NV, 4, 4) scaled-scene w2c
+    near: jnp.ndarray              # () scene near (near_fars[0,0])
+    far: jnp.ndarray               # () scene far
+    ray_o: jnp.ndarray             # (3,) reference camera origin
+    proj_matrices: Dict[str, jnp.ndarray]  # stage -> (NV, 2, 4, 4), mm scale
+    depth_values: jnp.ndarray      # (D0,) hypotheses in mm
+    scale_factor: jnp.ndarray      # () 1/scene-radius
+
+
+class EncoderOutputs(NamedTuple):
+    source_feats: jnp.ndarray                    # (NV, h1, w1, 32)
+    volumes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]  # per-stage (feat, weight)
+    fea_grid: Optional[jnp.ndarray]              # (X, Y, Z, 16) featuregrid path
+    aug0: jnp.ndarray                            # (P, h1, w1, 32)
+    aug1: jnp.ndarray
+    mvs_depths: jnp.ndarray                      # (NV, H, W) scaled to scene
+
+
+def view_pairs(n_views: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pairs = [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
+    return (
+        jnp.array([p[0] for p in pairs]),
+        jnp.array([p[1] for p in pairs]),
+    )
+
+
+class UFORecon(nn.Module):
+    """Generalizable sparse-view SRDF reconstruction model."""
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.matcher = CascadeMatcher(
+            ndepths=c.ndepths,
+            depth_intervals_ratio=c.depth_inter_r,
+            cr_base_chs=c.cr_base_chs,
+            fmt_layer_names=c.fmt_layer_names,
+            grad_method=c.grad_method,
+            dtype=dtype,
+        )
+        if c.volume_type == "correlation" and c.volume_reso > 0:
+            self.mvs_volume = CostRegNetWeight(base_channels=8, dtype=dtype)
+        elif c.volume_type == "featuregrid" and c.volume_reso > 0:
+            self.feature_volume = FeatureVolume(c.volume_reso, dtype=dtype)
+        self.ray_transformer = RayTransformer(
+            img_feat_dim=c.img_feat_dim,
+            fea_volume_dim=c.fea_volume_dim if c.volume_reso > 0 else 0,
+            sim_feat_fix=c.sim_feat_fix,
+            depth_dim=c.depth_dim,
+            use_dir_srdf=c.use_dir_srdf,
+            dtype=dtype,
+        )
+        # NeuS single deviation scalar (single_variance_network.py:5-11)
+        self.variance = self.param(
+            "variance", nn.initializers.constant(0.3), ()
+        )
+
+    # ------------------------------------------------------------------
+    def encode(self, scene: SceneInputs, train: bool = False) -> EncoderOutputs:
+        c = self.cfg
+        enc = self.matcher(
+            scene.source_imgs, scene.proj_matrices, scene.depth_values, train
+        )
+        volumes = {}
+        fea_grid = None
+        if c.volume_type == "correlation" and c.volume_reso > 0:
+            for stage, cv in enc["cost_volumes"].items():
+                f, w = self.mvs_volume(cv[..., None])
+                volumes[stage] = (f, w)
+        elif c.volume_type == "featuregrid" and c.volume_reso > 0:
+            fea_grid = self.feature_volume(
+                enc["backbone_stage1"], scene.source_poses, train
+            )
+        mvs_depths = enc["mvs_depth"] * scene.scale_factor
+        return EncoderOutputs(
+            source_feats=enc["backbone_stage1"],
+            volumes=volumes,
+            fea_grid=fea_grid,
+            aug0=enc["aug0"],
+            aug1=enc["aug1"],
+            mvs_depths=mvs_depths,
+        )
+
+    # ------------------------------------------------------------------
+    def _sample_to_rgb(self, scene: SceneInputs, enc: EncoderOutputs,
+                       points: jnp.ndarray, z_val: jnp.ndarray):
+        """sample2rgb (model.py:308-348): queries + ray transformer + NeuS."""
+        c = self.cfg
+        nv = scene.source_imgs.shape[0]
+
+        sim_feat = None
+        xy = valid = None
+        if c.explicit_similarity:
+            pi, pj = view_pairs(nv)
+            sim_feat, xy, valid = query_similarity(
+                points, scene.source_poses, enc.aug0, enc.aug1, pi, pj,
+                n_groups=c.cos_n_group,
+            )
+        if xy is None:
+            xy, _, valid = cam_ops.project_points_ndc(scene.source_poses, points)
+
+        fea_volume_feat = None
+        if c.volume_type == "correlation" and c.volume_reso > 0:
+            fea_volume_feat = query_correlation_volume(
+                points, scene.source_poses, enc.volumes,
+                (scene.near, scene.far),
+            )
+        elif c.volume_type == "featuregrid" and c.volume_reso > 0:
+            fea_volume_feat = grid_sample_3d(
+                enc.fea_grid[None], points[None], align_corners=False,
+                padding_mode="zeros",
+            )[0]
+
+        mvs_depths = enc.mvs_depths if (c.mvs_depth_guide > 0 and c.depth_pos_encoding) else None
+
+        radiance, srdf = self.ray_transformer(
+            points=points,
+            source_imgs=scene.source_imgs,
+            source_feats=enc.source_feats,
+            ref_cam_pos=scene.ref_cam_pos,
+            src_cam_pos=scene.src_cam_pos,
+            src_w2cs=scene.src_w2cs,
+            points_xy=xy,
+            valid_depth=valid,
+            fea_volume_feat=fea_volume_feat,
+            sim_feat=sim_feat,
+            mvs_depths=mvs_depths,
+        )
+        inv_s = jnp.exp(self.variance * 10.0)
+        out = neus_render(z_val, radiance, srdf, inv_s)
+        out["srdf"] = srdf
+        return out
+
+    # ------------------------------------------------------------------
+    def render_chunk(
+        self,
+        scene: SceneInputs,
+        enc: EncoderOutputs,
+        ray_d: jnp.ndarray,        # (RN, 3) NDC-space ray directions
+        rng: jax.Array,
+        near_per_ray: Optional[jnp.ndarray] = None,  # (RN,), else scene near
+        far_per_ray: Optional[jnp.ndarray] = None,
+        coarse_only: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Coarse + importance-sampled fine rendering of one ray chunk
+        (reference model.py:393-482 infer)."""
+        c = self.cfg
+        rn = ray_d.shape[0]
+        ray_o = jnp.broadcast_to(scene.ray_o, (rn, 3))
+        near = near_per_ray if near_per_ray is not None else jnp.full((rn,), scene.near)
+        far = far_per_ray if far_per_ray is not None else jnp.full((rn,), scene.far)
+
+        k_coarse, k_fine = jax.random.split(rng)
+        n_coarse = c.test_sample_coarse if c.extract_geometry else c.coarse_sample
+        n_fine = c.test_sample_fine if c.extract_geometry else c.fine_sample
+
+        points, z_val = sample_coarse(
+            k_coarse, ray_o, ray_d, n_coarse, near=near, far=far,
+            sample_radius=c.sample_radius,
+        )
+        out_c = self._sample_to_rgb(scene, enc, points, z_val)
+        if coarse_only:
+            return {"coarse": out_c, "fine": out_c}
+
+        _, z2 = sample_importance(
+            k_fine, ray_o, ray_d,
+            jax.lax.stop_gradient(out_c["weight"]),
+            jax.lax.stop_gradient(z_val), n_fine,
+        )
+        points_all, z_all = merge_z_sorted(ray_o, ray_d, z_val, z2)
+        out_f = self._sample_to_rgb(scene, enc, points_all, z_all)
+        return {"coarse": out_c, "fine": out_f}
+
+    # convenience entry used by init / parameter creation
+    def __call__(self, scene: SceneInputs, ray_d: jnp.ndarray, rng: jax.Array):
+        enc = self.encode(scene)
+        return self.render_chunk(scene, enc, ray_d, rng)
