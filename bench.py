@@ -1,0 +1,102 @@
+"""Benchmark: depth-map render throughput (rays/sec/chip) on real hardware.
+
+Measures the reference's headline workload (BASELINE.md): one 800x640
+depth-map render = 512k rays x (64 coarse + 64 fine) samples through the
+full render path (similarity + correlation-volume queries + ray transformer
++ NeuS), after a one-time scene encode. The RTX-3090 reference renders this
+as 640 sequential 800-ray torch chunks; we run one compiled XLA program.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is rays/sec relative to the reference GPU's implied
+throughput (~13.1k rays/s: 512k rays in ~39s per view on a 3090 — the
+closest published anchor for this exact pipeline; UFORecon reports ~0.5-1
+min/view class runtimes on 3090-class hardware).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    # keep bench shapes identical to the reference eval workload where the
+    # chip allows; override via env for smoke runs
+    h = int(os.environ.get("BENCH_H", 640))
+    w = int(os.environ.get("BENCH_W", 800))
+    n_views = int(os.environ.get("BENCH_VIEWS", 3))
+    chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+
+    import jax
+
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+    from uforecon_tpu.pipeline.renderer import SceneRenderer
+    from uforecon_tpu.parallel.sharding import make_mesh
+    from __graft_entry__ import _tiny_scene
+
+    cfg = Config(
+        extract_geometry=True,
+        test_sample_coarse=64,
+        test_sample_fine=64,
+        volume_type="correlation",
+    )
+
+    # full-size synthetic scene (model weights random — throughput is
+    # weight-independent; chamfer configs need DTU data + trained weights)
+    scene, ray_d = _build_scene(h, w, n_views)
+
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, scene, ray_d[:64], key)
+
+    renderer = SceneRenderer(cfg, variables, mesh=make_mesh(1), chunk=chunk)
+    enc = renderer.encode(scene)
+    jax.block_until_ready(jax.tree_util.tree_leaves(enc)[0])
+
+    n = ray_d.shape[0]
+    near = np.full(n, float(scene.near), np.float32)
+    far = np.full(n, float(scene.far), np.float32)
+
+    # warmup / compile
+    out = renderer.render_rays(scene, enc, np.asarray(ray_d), near, far, key)
+    assert np.all(np.isfinite(out["depth"]))
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = renderer.render_rays(
+            scene, enc, np.asarray(ray_d), near, far, jax.random.PRNGKey(i)
+        )
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rays_per_sec = n / best
+
+    # implied reference anchor: 512k rays / view at roughly 39 s/view on a
+    # RTX 3090 (800-ray chunks through two transformer passes)
+    baseline_rps = 13_100.0
+    print(json.dumps({
+        "metric": "depth_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline_rps, 3),
+    }))
+
+
+def _build_scene(h, w, n_views):
+    import jax.numpy as jnp
+
+    from uforecon_tpu.models.uforecon import SceneInputs
+    from uforecon_tpu.ops import camera
+
+    from __graft_entry__ import _tiny_scene  # reuse geometry helpers
+
+    # _tiny_scene is parameterized; call it with full-size shapes
+    from __graft_entry__ import _tiny_scene as make
+
+    return make(n_views=n_views, h=h, w=w, ndepth=192)
+
+
+if __name__ == "__main__":
+    main()

@@ -313,6 +313,7 @@ class CascadeMatcher(nn.Module):
 
         cost_volumes = {f"stage{s+1}": [] for s in range(len(self.ndepths))}
         mvs_depths = []
+        rot0_aux = {}
         for r in range(v):  # static unrolled rotation loop (small V)
             rot = list(range(r, v)) + list(range(r))
             rot_idx = jnp.array(rot)
@@ -323,6 +324,17 @@ class CascadeMatcher(nn.Module):
             for s in range(len(self.ndepths)):
                 cost_volumes[f"stage{s+1}"].append(outs[f"stage{s+1}"]["cost_volume"])
             mvs_depths.append(outs["stage3"]["depth"])
+            if r == 0:
+                # kept for MVS pretraining supervision (prob + hypotheses)
+                rot0_aux = {
+                    f"stage{s+1}": {
+                        "prob_volume": outs[f"stage{s+1}"]["prob_volume"],
+                        "depth_values": outs[f"stage{s+1}"]["depth_values"],
+                        "depth": outs[f"stage{s+1}"]["depth"],
+                        "photometric_confidence": outs[f"stage{s+1}"]["photometric_confidence"],
+                    }
+                    for s in range(len(self.ndepths))
+                }
 
         # pairwise matching features over raw backbone stage1 (model.py:505)
         aug0, aug1 = self.fmt_with_pathway.extract_cross_features(feats["stage1"], v)
@@ -333,4 +345,5 @@ class CascadeMatcher(nn.Module):
             "mvs_depth": jnp.stack(mvs_depths),           # (V, H, W)
             "aug0": aug0,                                 # (P, h1, w1, C1)
             "aug1": aug1,
+            "rot0": rot0_aux,                             # pretraining aux
         }

@@ -1,0 +1,157 @@
+"""Full-image rendering pipeline: encode once, render all rays under one jit.
+
+Replaces the reference's host-side chunk loop
+(reference: code1/model.py:814 ``for ray_idx in torch.split(...)`` — 640
+sequential 800-ray kernel launches per view) with a single compiled program:
+rays are padded to a multiple of (devices x chunk), sharded over the mesh
+'rays' axis with shard_map, and each device scans its chunks with lax.map.
+The encoder outputs are replicated; rendering needs no collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..models.uforecon import EncoderOutputs, SceneInputs, UFORecon
+from ..parallel.sharding import make_mesh, pad_to_multiple
+
+
+class SceneRenderer:
+    """Stateful wrapper holding jitted encode / render programs."""
+
+    def __init__(self, cfg: Config, variables, mesh: Optional[Mesh] = None,
+                 chunk: Optional[int] = None):
+        self.cfg = cfg
+        self.model = UFORecon(cfg)
+        self.variables = variables
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.n_dev = self.mesh.devices.size
+        # pad the reference's 800-ray chunks up to a TPU-friendly multiple
+        self.chunk = chunk if chunk is not None else max(
+            1024, int(np.ceil(cfg.test_ray_num / 256)) * 256
+        )
+        self._encode = jax.jit(
+            lambda v, s: self.model.apply(v, s, method=self.model.encode)
+        )
+        self._render_fn = None  # built lazily per padded ray-count
+        self._render_sig = None
+
+    # ------------------------------------------------------------------
+    def encode(self, scene: SceneInputs) -> EncoderOutputs:
+        return self._encode(self.variables, scene)
+
+    # ------------------------------------------------------------------
+    def _build_render(self, n_rays_padded: int, coarse_only: bool):
+        cfg = self.cfg
+        model = self.model
+        chunk = self.chunk
+        mesh = self.mesh
+        per_dev = n_rays_padded // self.n_dev
+        assert per_dev % chunk == 0
+
+        def render_local(variables, scene, enc, ray_d, near, far, key):
+            """Render this device's rays: lax.map over chunks."""
+            n_local = ray_d.shape[0]
+            n_chunks = n_local // chunk
+            rd = ray_d.reshape(n_chunks, chunk, 3)
+            nr = near.reshape(n_chunks, chunk)
+            fr = far.reshape(n_chunks, chunk)
+            keys = jax.random.split(key, n_chunks)
+
+            def one(args):
+                rd_c, nr_c, fr_c, k = args
+                out = model.apply(
+                    variables, scene, enc, rd_c, k,
+                    near_per_ray=nr_c, far_per_ray=fr_c,
+                    coarse_only=coarse_only,
+                    method=model.render_chunk,
+                )
+                f = out["fine"]
+                return f["rgb"], f["depth"], f["opacity"]
+
+            rgb, depth, opacity = jax.lax.map(one, (rd, nr, fr, keys))
+            return (
+                rgb.reshape(n_local, 3),
+                depth.reshape(n_local),
+                opacity.reshape(n_local),
+            )
+
+        if self.n_dev == 1:
+            fn = render_local
+        else:
+            from jax import shard_map
+
+            fn = shard_map(
+                render_local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"), P()),
+                out_specs=(P("rays"), P("rays"), P("rays")),
+                check_rep=False,
+            )
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def render_rays(
+        self,
+        scene: SceneInputs,
+        enc: EncoderOutputs,
+        ray_d: np.ndarray,                  # (N, 3)
+        near: np.ndarray,                   # (N,)
+        far: np.ndarray,                    # (N,)
+        key: jax.Array,
+        coarse_only: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        n = ray_d.shape[0]
+        mult = self.chunk * self.n_dev
+        ray_d_p, _ = pad_to_multiple(np.asarray(ray_d), mult)
+        near_p, _ = pad_to_multiple(np.asarray(near), mult)
+        far_p, _ = pad_to_multiple(np.asarray(far), mult)
+
+        sig = (ray_d_p.shape[0], coarse_only)
+        if self._render_fn is None or self._render_sig != sig:
+            self._render_fn = self._build_render(*sig)
+            self._render_sig = sig
+
+        rgb, depth, opacity = self._render_fn(
+            self.variables, scene, enc,
+            jnp.asarray(ray_d_p), jnp.asarray(near_p), jnp.asarray(far_p), key,
+        )
+        return {
+            "rgb": np.asarray(rgb)[:n],
+            "depth": np.asarray(depth)[:n],
+            "opacity": np.asarray(opacity)[:n],
+        }
+
+    # ------------------------------------------------------------------
+    def render_depth_view(self, scene: SceneInputs, extras: Dict,
+                          key: jax.Array) -> Dict[str, np.ndarray]:
+        """Render a full depth map + rgb for one view (extract_geometry path).
+
+        Reproduces the reference conventions (model.py:814-826): per-ray
+        near/far divided by the camera-frame ray z (ray distance -> z-depth
+        bounds), rendered ray distance converted back to z-depth and scaled
+        to millimetres by scale_mat[0, 0].
+        """
+        enc = self.encode(scene)
+        ray_d = extras["ray_d"]
+        cam_rd = extras["cam_ray_d"]
+        n = ray_d.shape[0]
+        near = np.full(n, float(scene.near), np.float32) / cam_rd[:, 2]
+        far = np.full(n, float(scene.far), np.float32) / cam_rd[:, 2]
+
+        out = self.render_rays(scene, enc, ray_d, near, far, key,
+                               coarse_only=self.cfg.test_coarse_only)
+        h, w = extras["hw"]
+        depth_z = out["depth"] * cam_rd[:, 2]           # ray distance -> z
+        depth_mm = depth_z * extras["scale_mat"][0, 0]  # scene units -> mm
+        return {
+            "depth": depth_mm.reshape(h, w),
+            "rgb": out["rgb"].reshape(h, w, 3),
+            "opacity": out["opacity"].reshape(h, w),
+        }
