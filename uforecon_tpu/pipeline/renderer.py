@@ -92,7 +92,7 @@ class SceneRenderer:
                 mesh=mesh,
                 in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"), P()),
                 out_specs=(P("rays"), P("rays"), P("rays")),
-                check_rep=False,
+                check_vma=False,
             )
         return jax.jit(fn)
 
