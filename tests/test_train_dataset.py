@@ -1,0 +1,139 @@
+"""MVSDataset (train) and GeneralFit on synthetic fixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from uforecon_tpu.data import io
+from uforecon_tpu.data.convert import scene_inputs_from_sample
+from uforecon_tpu.data.dtu_train import MVSDataset
+from uforecon_tpu.data.general_fit import GeneralFit
+
+from helpers import look_at
+
+
+@pytest.fixture
+def dtu_train_dir(tmp_path, rng):
+    from PIL import Image
+
+    root = tmp_path / "DTU"
+    (root / "Cameras" / "train").mkdir(parents=True)
+    (root / "Rectified" / "scanA_train").mkdir(parents=True)
+    (root / "Depths_raw" / "scanA").mkdir(parents=True)
+
+    # intrinsics in the cam files are 4x downsampled (dtu_train.py:240)
+    K = np.array([[350.0, 0, 80.0], [0, 350.0, 64.0], [0, 0, 1.0]], np.float32)
+    n_views = 6
+    for vid in range(49):
+        ang = 0.25 * (vid % n_views)
+        eye = np.array([600 * np.sin(ang), 30.0 * (vid % 3), -600 * np.cos(ang)])
+        E = look_at(eye)
+        io.write_cam_file(root / "Cameras" / "train" / f"{vid:08d}_cam.txt",
+                          E, K, [425.0, 2.5])
+    for vid in range(n_views):
+        for light in range(7):
+            img = (rng.random((512, 640, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / "Rectified" / "scanA_train" / f"rect_{vid+1:03d}_{light}_r5000.png"
+            )
+        depth = (rng.random((1200, 1600)) * 200 + 500).astype(np.float32)
+        io.write_pfm(root / "Depths_raw" / "scanA" / f"depth_map_{vid:04d}.pfm", depth)
+
+    split = tmp_path / "train.txt"
+    split.write_text("scanA\n")
+    pair = tmp_path / "pairs.txt"
+    # 2 ref views with 10 scored sources each (only views < 6 usable)
+    lines = ["2"]
+    for ref in (0, 1):
+        srcs = [v for v in range(6) if v != ref][:5]
+        lines.append(str(ref))
+        lines.append(f"{len(srcs)} " + " ".join(f"{v} {100 - i}.0" for i, v in enumerate(srcs)))
+    pair.write_text("\n".join(lines) + "\n")
+    return str(root), str(split), str(pair)
+
+
+def test_mvs_dataset_best_selection(dtu_train_dir):
+    root, split, pair = dtu_train_dir
+    ds = MVSDataset(root, "train", split, pair, n_views=4)
+    assert len(ds) == 2 * 7  # 2 refs x 7 lights
+    s = ds[0]
+    assert s["source_imgs"].shape == (3, 512, 640, 3)
+    assert s["images"].shape == (4, 512, 640, 3)
+    assert s["proj_matrices"]["stage1"].shape == (3, 2, 4, 4)  # sources only
+    assert s["depths_h"].shape == (4, 512, 640)
+    assert s["start_idx"] == 1
+    # intrinsics scaled 4x from the cam file (dtu_train.py:240)
+    np.testing.assert_allclose(s["intrinsics"][0][0, 0], 1400.0, rtol=1e-4)
+    # depth hypothesis spacing includes the 1.06 widening
+    dv = s["depth_values_org_scale"]
+    np.testing.assert_allclose(dv[1] - dv[0], 2.5 * 1.06, rtol=1e-5)
+    # depths were scaled and divided by cam-ray z (> raw * scale)
+    assert np.isfinite(s["depths_h"]).all()
+
+    scene, extras = scene_inputs_from_sample(s)
+    assert scene.source_imgs.shape[0] == 3
+    assert scene.src_w2cs.shape[0] == 3  # start_idx=1 drops the ref view
+
+
+def test_mvs_dataset_random_selection(dtu_train_dir):
+    root, split, pair = dtu_train_dir
+    ds = MVSDataset(root, "train", split, pair, n_views=3,
+                    view_selection_type="random", seed=1)
+    # random selection may pick views without images on disk; just check metas
+    refs = {m[2] for m in ds.metas}
+    assert refs == {0, 1}
+    for m in ds.metas:
+        assert len(m[3]) == 2
+        assert m[2] not in m[3]
+
+
+def test_mvs_dataset_val_filters_refs(dtu_train_dir):
+    root, split, pair = dtu_train_dir
+    ds = MVSDataset(root, "val", split, pair, n_views=3, test_ref_views=[1, 2, 3])
+    # only ref view 1 matches the pair list; sources forced to test refs
+    assert all(m[2] == 1 for m in ds.metas)
+    assert all(m[3] == [1, 2, 3] for m in ds.metas)
+
+
+@pytest.fixture
+def blended_dir(tmp_path, rng):
+    import cv2
+
+    scan = "scene0"
+    root = tmp_path / "BMVS"
+    (root / scan / "cams").mkdir(parents=True)
+    (root / scan / "blended_images").mkdir(parents=True)
+
+    K = np.array([[500.0, 0, 384.0], [0, 500.0, 288.0], [0, 0, 1.0]], np.float32)
+    for vid in range(4):
+        ang = 0.3 * vid
+        eye = np.array([3 * np.sin(ang), 0.2 * vid, -3 * np.cos(ang)])
+        E = look_at(eye)
+        io.write_cam_file(root / scan / "cams" / f"{vid:08d}_cam.txt",
+                          E, K, [2.0, 0.02, 100.0, 4.5])
+        img = (rng.random((576, 768, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / scan / "blended_images" / f"{vid:08d}_masked.jpg"), img)
+
+    lines = ["2"]
+    for ref in (0, 1):
+        srcs = [v for v in range(4) if v != ref]
+        lines.append(str(ref))
+        lines.append(f"{len(srcs)} " + " ".join(f"{v} {50 - i}.0" for i, v in enumerate(srcs)))
+    (root / scan / "cams" / "pair.txt").write_text("\n".join(lines) + "\n")
+    return str(root), scan
+
+
+def test_general_fit(blended_dir):
+    root, scan = blended_dir
+    ds = GeneralFit(root, scan, n_views=3)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["source_imgs"].shape == (3, 576, 768, 3)
+    assert s["start_idx"] == 0
+    assert s["meta"].endswith("-scene0-refview0")
+    # near/far from cam row first/last entries
+    dv = s["depth_values_org_scale"]
+    np.testing.assert_allclose(dv[0], 2.0, rtol=1e-5)
+    scene, extras = scene_inputs_from_sample(s)
+    assert scene.source_imgs.shape == (3, 576, 768, 3)
+    assert extras["ray_d"].shape == (576 * 768, 3)
