@@ -26,7 +26,7 @@ def main():
     h = int(os.environ.get("BENCH_H", 640))
     w = int(os.environ.get("BENCH_W", 800))
     n_views = int(os.environ.get("BENCH_VIEWS", 3))
-    chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
 
     import jax
 
@@ -49,7 +49,7 @@ def main():
 
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, scene, ray_d[:64], key)
+    variables = jax.jit(model.init)(key, scene, ray_d[:64], key)
 
     renderer = SceneRenderer(cfg, variables, mesh=make_mesh(1), chunk=chunk)
     enc = renderer.encode(scene)

@@ -1,0 +1,118 @@
+"""Training harness: fit loop, checkpoint retention, metrics."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uforecon_tpu.config import Config
+from uforecon_tpu.pipeline.checkpoint import CheckpointManager, load_params, save_params
+from uforecon_tpu.utils.metrics import psnr, ssim
+
+from helpers import SyntheticDataset
+
+
+def tiny_cfg(tmp_path, **kw):
+    base = dict(
+        ndepths=(8, 8, 8),
+        fmt_layer_names=("self", "cross"),
+        coarse_sample=4,
+        fine_sample=4,
+        train_ray_num=32,
+        volume_type="correlation",
+        logdir=str(tmp_path / "logs"),
+        max_epochs=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=2)
+    tree = {"a": np.arange(3, dtype=np.float32), "b": {"c": np.float32(1.0)}}
+    mgr.save(1, tree, {"val/loss_depth_fine": 3.0})
+    mgr.save(2, {**tree, "b": {"c": np.float32(2.0)}}, {"val/loss_depth_fine": 1.0})
+    mgr.save(3, tree, {"val/loss_depth_fine": 2.0})
+    mgr.save(4, tree, {"val/loss_depth_fine": 9.0})
+    # top-2 by metric = steps 2,3; latest (4) always kept; 1 dropped
+    kept = {int(s) for s in mgr._index}
+    assert kept == {2, 3, 4}
+    assert mgr.best_step() == 2
+    restored = mgr.restore(2, target=tree)
+    assert float(restored["b"]["c"]) == 2.0
+    # latest restore
+    assert mgr.latest_step() == 4
+
+
+def test_save_load_params_roundtrip(tmp_path):
+    tree = {"w": np.random.default_rng(0).random((4, 4)).astype(np.float32)}
+    save_params(str(tmp_path / "p"), tree)
+    back = load_params(str(tmp_path / "p"), target=tree)
+    np.testing.assert_allclose(back["w"], tree["w"])
+
+
+def test_psnr_ssim_sanity(rng):
+    x = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    y = jnp.clip(x + 0.1 * rng.standard_normal((32, 32, 3)).astype(np.float32), 0, 1)
+    assert float(psnr(x, x)) > 80
+    assert float(psnr(x, y)) < 40
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-5
+    assert 0.5 < float(ssim(x, y)) < 0.999
+
+
+@pytest.mark.slow
+def test_fit_smoke(tmp_path):
+    from uforecon_tpu.pipeline.fit import fit
+
+    cfg = tiny_cfg(tmp_path)
+    ds = SyntheticDataset(n_samples=2, n_views=3, h=32, w=32, ndepth=16)
+    val = SyntheticDataset(n_samples=1, n_views=3, h=32, w=32, ndepth=16,
+                           start_idx=0)
+    state = fit(cfg, train_ds=ds, val_ds=val, max_steps=2, val_every=2,
+                log_every=1, n_workers=0)
+    assert int(state.step) == 2
+    logdir = os.path.join(cfg.logdir, cfg.exp_name)
+    assert os.path.exists(os.path.join(logdir, "metrics.jsonl"))
+    mgr = CheckpointManager(os.path.join(logdir, "ckpt"))
+    assert mgr.latest_step() == 2
+
+
+@pytest.mark.slow
+def test_fit_updates_only_nonmatcher_params(tmp_path):
+    """The matcher subtree stays frozen (reference model.py:82-83)."""
+    from uforecon_tpu.pipeline.fit import init_model
+    from uforecon_tpu.pipeline.trainer import (create_train_state,
+                                               make_optimizer, make_train_step)
+    from uforecon_tpu.data.convert import scene_inputs_from_sample
+    from uforecon_tpu.pipeline.fit import _gather_ray_batch
+
+    cfg = tiny_cfg(tmp_path)
+    ds = SyntheticDataset(n_samples=1, n_views=3, h=32, w=32, ndepth=16)
+    model, variables = init_model(cfg, ds[0])
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables)
+    step_fn = make_train_step(cfg, model, tx)
+
+    scene, extras = scene_inputs_from_sample(ds[0])
+    idx = np.arange(cfg.train_ray_num)
+    ray_d, rgb_gt, depth_gt = _gather_ray_batch(extras, idx)
+    new_state, logs = step_fn(state, scene, jnp.asarray(ray_d),
+                              jnp.asarray(rgb_gt), jnp.asarray(depth_gt),
+                              jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["train/loss_all"]))
+
+    before = state.params["matcher"]
+    after = new_state.params["matcher"]
+    leaves_b = jax.tree_util.tree_leaves(before)
+    leaves_a = jax.tree_util.tree_leaves(after)
+    for b, a in zip(leaves_b, leaves_a):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # and at least one non-matcher param changed
+    others_b = jax.tree_util.tree_leaves({k: v for k, v in state.params.items()
+                                          if k != "matcher"})
+    others_a = jax.tree_util.tree_leaves({k: v for k, v in new_state.params.items()
+                                          if k != "matcher"})
+    changed = any(not np.array_equal(np.asarray(b), np.asarray(a))
+                  for b, a in zip(others_b, others_a))
+    assert changed

@@ -86,3 +86,24 @@ def test_render_depth_view_shapes(rng):
     # depth in "mm" = ray distance * scale 2.0, so ~2x the scene depth range
     d = out["depth"]
     assert d.mean() > 2 * (float(scene.near) - 1)
+
+
+@pytest.mark.slow
+def test_extract_similarity_field(rng):
+    from uforecon_tpu.models.uforecon import UFORecon
+    from uforecon_tpu.pipeline.extract import (extract_similarity_field,
+                                               similarity_mesh)
+
+    cfg = small_cfg()
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, scene, extras["ray_d"][:8], key)
+
+    field = extract_similarity_field(cfg, variables, scene, reso=16,
+                                     chunk=2048)
+    assert field.shape == (16, 16, 16)
+    assert np.all(field <= 1.0 + 1e-5) and np.all(field >= -1.0 - 1e-5)
+    # mesh extraction runs (may be empty for random weights)
+    verts, faces = similarity_mesh(field, threshold=float(np.median(field)))
+    assert verts.shape[1] == 3 if len(verts) else True

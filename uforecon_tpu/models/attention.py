@@ -28,10 +28,31 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     V' = phi(Q) (phi(K)^T V) / (phi(Q) sum(phi(K)))  with phi(x)=elu(x)+1.
     Matches both reference implementations (FMT.py:23-38 and
     linear_attention.py:20-47 — the /v_length trick cancels exactly).
+
+    Two mathematically identical association orders:
+      * kv-order O(B·S·D·M): contract K^T V first. Right for long sequences
+        (FMT's 32k matching tokens) where B is small.
+      * qk-order O(B·L·S·D): contract phi(Q) phi(K)^T first. Right for the
+        per-point view/ray transformers where B is RN·SN points and S is 4
+        tokens — the kv-order's per-point (H, D, M) state pads to (16, 128)
+        TPU tiles and cost 34GB at render chunk size. The qk-order einsums
+        keep the huge B axis on the 128-lane dim (no padding).
     """
+    s_len = k.shape[1]
+    if s_len <= 16 and q.shape[-1] <= 16 and jax.default_backend() == "tpu":
+        # fused Pallas kernel: points stay on the lane axis, no padding
+        from ..ops.pallas_attention import tiny_linear_attention
+
+        return tiny_linear_attention(q, k, v)
     qf = jax.nn.elu(q) + 1.0
     kf = jax.nn.elu(k) + 1.0
     hp = jax.lax.Precision.HIGHEST
+    if s_len <= 64:
+        scores = jnp.einsum("blhd,bshd->hlsb", qf, kf, precision=hp)
+        denom = jnp.sum(scores, axis=2) + _EPS              # (H, L, B)
+        out = jnp.einsum("hlsb,bshm->hmlb", scores, v, precision=hp)
+        out = out / denom[:, None]                          # (H, M, L, B)
+        return out.transpose(3, 2, 0, 1)                    # (B, L, H, M)
     kv = jnp.einsum("bshd,bshm->bhmd", kf, v, precision=hp)
     z = 1.0 / (jnp.einsum("blhd,bhd->blh", qf, kf.sum(axis=1), precision=hp) + _EPS)
     return jnp.einsum("blhd,bhmd,blh->blhm", qf, kv, z, precision=hp)

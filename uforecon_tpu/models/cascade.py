@@ -45,35 +45,25 @@ def combine_projection(proj: jnp.ndarray) -> jnp.ndarray:
     return out.at[:3, :4].set(kr)
 
 
-def homo_warp(
-    src_feat: jnp.ndarray,
+def homo_warp_grid(
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
     depth_values: jnp.ndarray,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Warp source features onto reference-view depth hypothesis planes.
-
-    Reference: homo_warping_trans (module.py:329-367): pixel grid of the
-    reference view back-projected at each hypothesis depth, projected into
-    the source view, bilinear sample (align_corners=True, zeros padding),
-    points behind the source camera pushed to -99 (off-image).
-
-    Args:
-      src_feat: (H, W, C) source feature map.
-      src_proj / ref_proj: (4, 4) full projection (K@E).
-      depth_values: (D, H, W) hypothesis depths per reference pixel.
-
-    Returns:
-      (D, H, W, C) warped features.
-    """
+    """Normalized sampling grid for warping one source view onto the
+    reference hypothesis planes (the geometry half of homo_warping_trans,
+    module.py:329-367): pixel grid back-projected at each hypothesis depth,
+    projected into the source view; points behind the camera pushed to -99
+    (off-image). Returns (D, H, W, 2) normalized (x, y)."""
     d, h, w = depth_values.shape
     hp = jax.lax.Precision.HIGHEST
     proj = jnp.einsum("ij,jk->ik", src_proj, jnp.linalg.inv(ref_proj), precision=hp)
     rot, trans = proj[:3, :3], proj[:3, 3]
 
     ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=src_feat.dtype),
-        jnp.arange(w, dtype=src_feat.dtype),
+        jnp.arange(h, dtype=dtype),
+        jnp.arange(w, dtype=dtype),
         indexing="ij",
     )
     ones = jnp.ones_like(xs)
@@ -88,10 +78,77 @@ def homo_warp(
     gy = xy[..., 1] / ((h - 1) / 2.0) - 1.0
     gx = jnp.where(invalid, -99.0, gx)
     gy = jnp.where(invalid, -99.0, gy)
-    grid = jnp.stack([gx, gy], axis=-1).reshape(1, d * h * w, 2)
+    return jnp.stack([gx, gy], axis=-1)
 
-    out = grid_sample_2d(src_feat[None], grid, align_corners=True, padding_mode="zeros")
+
+def homo_warp(
+    src_feat: jnp.ndarray,
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+) -> jnp.ndarray:
+    """Warp ONE source view's features onto the reference hypothesis planes
+    (homo_warping_trans, module.py:329-367). Returns (D, H, W, C).
+
+    Model code uses homo_warp_batch / _correlate_chunked; this single-view
+    form is kept for tests and external callers."""
+    d, h, w = depth_values.shape
+    grid = homo_warp_grid(src_proj, ref_proj, depth_values, src_feat.dtype)
+    out = grid_sample_2d(src_feat[None], grid.reshape(1, d * h * w, 2),
+                         align_corners=True, padding_mode="zeros")
     return out.reshape(d, h, w, src_feat.shape[-1])
+
+
+def homo_warp_batch(
+    src_feats: jnp.ndarray,    # (V, H, W, C)
+    src_projs: jnp.ndarray,    # (V, 4, 4)
+    ref_proj: jnp.ndarray,     # (4, 4)
+    depth_values: jnp.ndarray, # (D, H, W)
+) -> jnp.ndarray:
+    """All source views in one gather: (V, D, H, W, C). Batching through a
+    single grid_sample avoids vmap's size-1 batch dim landing on the TPU
+    sublane axis (which padded every gather buffer 8x)."""
+    v = src_feats.shape[0]
+    d, h, w = depth_values.shape
+    grids = jax.vmap(
+        lambda p: homo_warp_grid(p, ref_proj, depth_values, src_feats.dtype)
+    )(src_projs)  # (V, D, H, W, 2)
+    out = grid_sample_2d(src_feats, grids.reshape(v, d * h * w, 2),
+                         align_corners=True, padding_mode="zeros")
+    return out.reshape(v, d, h, w, src_feats.shape[-1])
+
+
+def _correlate_chunked(
+    src_feats: jnp.ndarray,     # (V, H, W, C)
+    src_projs: jnp.ndarray,     # (V, 4, 4)
+    ref_proj: jnp.ndarray,
+    ref_feat: jnp.ndarray,      # (H, W, C)
+    depth_values: jnp.ndarray,  # (D, H, W)
+    target_rows: int = 1 << 20,
+) -> jnp.ndarray:
+    """Warp + correlate over depth-hypothesis chunks: (V, D, H, W, 1).
+
+    XLA canonicalizes the warp gather into rows of C values with C on the
+    128-lane axis, padding each corner buffer by 128/C; chunking the
+    hypothesis axis with lax.map bounds that transient to ~0.5GB instead of
+    OOMing at the full depth count. (The reference bounds the same memory by
+    looping source views, TransMVSNet.py:93-96 — the depth axis chunks
+    finer.)"""
+    v, h, w, _ = src_feats.shape
+    d = depth_values.shape[0]
+
+    def correlate(dv):
+        warped = homo_warp_batch(src_feats, src_projs, ref_proj, dv)
+        return jnp.mean(warped * ref_feat[None, None], axis=-1, keepdims=True)
+
+    dc = max(1, min(d, target_rows // max(v * h * w, 1)))
+    while d % dc:
+        dc -= 1
+    if dc == d:
+        return correlate(depth_values)
+    dv_chunks = depth_values.reshape(d // dc, dc, h, w)
+    sim = jax.lax.map(correlate, dv_chunks)       # (n, V, dc, H, W, 1)
+    return jnp.moveaxis(sim, 0, 1).reshape(v, d, h, w, 1)
 
 
 def depth_hypotheses_full(depth_min: jnp.ndarray, depth_max: jnp.ndarray,
@@ -228,10 +285,11 @@ class CascadeMatcher(nn.Module):
         ref_proj = projs[0]
         src_projs = projs[1:]
 
-        warp = lambda f, p: homo_warp(f, p, ref_proj, depth_values)
-        warped = jax.vmap(warp)(src_feats, src_projs)  # (V-1, D, H, W, C)
-        # correlation: channel mean of warped * ref  (TransMVSNet.py:81-82)
-        sim = jnp.mean(warped * ref_feat[None, None], axis=-1, keepdims=True)
+        # correlation: channel mean of warped * ref (TransMVSNet.py:81-82),
+        # computed over depth chunks to bound gather padding (see
+        # _correlate_chunked)
+        sim = _correlate_chunked(src_feats, src_projs, ref_proj, ref_feat,
+                                 depth_values)  # (V-1, D, H, W, 1)
 
         if view_weights is None:  # stage 1 only (TransMVSNet.py:216-222)
             view_weights = self.pixel_wise_net(sim, train)  # (V-1, H, W, 1)
@@ -311,39 +369,81 @@ class CascadeMatcher(nn.Module):
         v, h, w, _ = imgs.shape
         feats = self.feature(imgs, train)  # dict stage -> (V, h_s, w_s, C_s)
 
-        cost_volumes = {f"stage{s+1}": [] for s in range(len(self.ndepths))}
-        mvs_depths = []
-        rot0_aux = {}
-        for r in range(v):  # static unrolled rotation loop (small V)
-            rot = list(range(r, v)) + list(range(r))
-            rot_idx = jnp.array(rot)
-            feats_rot = {k: f[rot_idx] for k, f in feats.items()}
-            feats_fmt = self.fmt_with_pathway(feats_rot)
-            projs_rot = {k: p[rot_idx] for k, p in proj_matrices.items()}
-            outs = self._cascade(feats_fmt, projs_rot, depth_values, (h, w), train)
-            for s in range(len(self.ndepths)):
-                cost_volumes[f"stage{s+1}"].append(outs[f"stage{s+1}"]["cost_volume"])
-            mvs_depths.append(outs["stage3"]["depth"])
-            if r == 0:
-                # kept for MVS pretraining supervision (prob + hypotheses)
-                rot0_aux = {
-                    f"stage{s+1}": {
-                        "prob_volume": outs[f"stage{s+1}"]["prob_volume"],
-                        "depth_values": outs[f"stage{s+1}"]["depth_values"],
-                        "depth": outs[f"stage{s+1}"]["depth"],
-                        "photometric_confidence": outs[f"stage{s+1}"]["photometric_confidence"],
-                    }
-                    for s in range(len(self.ndepths))
-                }
+        # Every view leads once (build_pairs, model.py:139-160). The
+        # rotations are SCANNED, not unrolled: only one rotation's FMT +
+        # cascade U-Net temps are live at a time, which is what keeps
+        # full-resolution encode inside v5e HBM.
+        rot_idx = jnp.array([[(r + i) % v for i in range(v)] for r in range(v)])
+        feats_rot = {k: f[rot_idx] for k, f in feats.items()}       # (R, V, ...)
+        projs_rot = {k: p[rot_idx] for k, p in proj_matrices.items()}
+
+        if train:
+            # BN running stats mutate under train; nn.scan would need them
+            # broadcast, so keep the unrolled loop (training runs at reduced
+            # resolution where the memory argument does not bind).
+            stacked = None
+            for r in range(v):
+                flat = self._rotation(
+                    {k: f[r] for k, f in feats_rot.items()},
+                    {k: p[r] for k, p in projs_rot.items()},
+                    depth_values, (h, w), True,
+                )
+                if stacked is None:
+                    stacked = {k: [x] for k, x in flat.items()}
+                else:
+                    for k, x in flat.items():
+                        stacked[k].append(x)
+            rots = {k: jnp.stack(xs) for k, xs in stacked.items()}
+        else:
+            def body(mdl, carry, xs):
+                fr, pr = xs
+                return carry, mdl._rotation(fr, pr, depth_values, (h, w), False)
+
+            scan = nn.scan(
+                body,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )
+            _, rots = scan(self, None, (feats_rot, projs_rot))
 
         # pairwise matching features over raw backbone stage1 (model.py:505)
         aug0, aug1 = self.fmt_with_pathway.extract_cross_features(feats["stage1"], v)
 
+        rot0_aux = {
+            f"stage{s+1}": {
+                "prob_volume": rots[f"prob_volume{s+1}"][0],
+                "depth_values": rots[f"depth_values{s+1}"][0],
+                "depth": rots[f"depth{s+1}"][0],
+                "photometric_confidence": rots[f"conf{s+1}"][0],
+            }
+            for s in range(len(self.ndepths))
+        }
+        cost_volumes = {
+            f"stage{s+1}": rots[f"cost_volume{s+1}"]     # (R, D, h_s, w_s)
+            for s in range(len(self.ndepths))
+        }
+        mvs_depth = rots[f"depth{len(self.ndepths)}"]    # (V, H, W)
         return {
             "backbone_stage1": feats["stage1"],           # (V, h1, w1, C1)
-            "cost_volumes": {k: jnp.stack(vol) for k, vol in cost_volumes.items()},
-            "mvs_depth": jnp.stack(mvs_depths),           # (V, H, W)
+            "cost_volumes": cost_volumes,
+            "mvs_depth": mvs_depth,
             "aug0": aug0,                                 # (P, h1, w1, C1)
             "aug1": aug1,
             "rot0": rot0_aux,                             # pretraining aux
         }
+
+    def _rotation(self, feats_rot, projs_rot, depth_values, img_hw, train):
+        """One view-rotation pass: FMT pathway + 3-stage cascade, flattened
+        to a dict of stackable per-stage tensors."""
+        feats_fmt = self.fmt_with_pathway(feats_rot)
+        outs = self._cascade(feats_fmt, projs_rot, depth_values, img_hw, train)
+        flat = {}
+        for s in range(len(self.ndepths)):
+            st = outs[f"stage{s+1}"]
+            flat[f"cost_volume{s+1}"] = st["cost_volume"]
+            flat[f"prob_volume{s+1}"] = st["prob_volume"]
+            flat[f"depth{s+1}"] = st["depth"]
+            flat[f"depth_values{s+1}"] = st["depth_values"]
+            flat[f"conf{s+1}"] = st["photometric_confidence"]
+        return flat

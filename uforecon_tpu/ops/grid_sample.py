@@ -71,13 +71,17 @@ def grid_sample_2d(
     x1 = x0 + 1
     y1 = y0 + 1
 
-    flat = image.reshape(N, H * W, C)
+    # Channels-FIRST gather layout: buffers are (N, C, P) so the huge P axis
+    # sits on the 128-lane dimension. Channels-last (N, P, C) puts a small C
+    # (8-32) on lanes, and TPU tiling pads it 4-16x — at full render
+    # resolution that turned 1.6GB of temps into 8.8GB (v5e OOM).
+    flat_t = image.reshape(N, H * W, C).transpose(0, 2, 1)  # (N, C, HW)
 
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
-        return v * (w * valid.astype(image.dtype))[..., None]
+        v = jnp.take_along_axis(flat_t, idx[:, None, :], axis=2)  # (N, C, P)
+        return v * (w * valid.astype(image.dtype))[:, None, :]
 
     out = (
         corner(x0, y0, (1 - wx) * (1 - wy))
@@ -85,7 +89,7 @@ def grid_sample_2d(
         + corner(x0, y1, (1 - wx) * wy)
         + corner(x1, y1, wx * wy)
     )
-    return out.reshape((N,) + lead + (C,))
+    return out.transpose(0, 2, 1).reshape((N,) + lead + (C,))
 
 
 def grid_sample_3d(
@@ -121,7 +125,8 @@ def grid_sample_3d(
     x0, y0, z0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32), z0f.astype(jnp.int32)
     x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
 
-    flat = volume.reshape(N, D * H * W, C)
+    # channels-first gathers: see grid_sample_2d layout note
+    flat_t = volume.reshape(N, D * H * W, C).transpose(0, 2, 1)  # (N, C, DHW)
 
     def corner(xi, yi, zi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D)
@@ -130,8 +135,8 @@ def grid_sample_3d(
             + jnp.clip(yi, 0, H - 1) * W
             + jnp.clip(xi, 0, W - 1)
         )
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return v * (w * valid.astype(volume.dtype))[..., None]
+        v = jnp.take_along_axis(flat_t, idx[:, None, :], axis=2)  # (N, C, P)
+        return v * (w * valid.astype(volume.dtype))[:, None, :]
 
     out = (
         corner(x0, y0, z0, (1 - wx) * (1 - wy) * (1 - wz))
@@ -143,4 +148,4 @@ def grid_sample_3d(
         + corner(x0, y1, z1, (1 - wx) * wy * wz)
         + corner(x1, y1, z1, wx * wy * wz)
     )
-    return out.reshape((N,) + lead + (C,))
+    return out.transpose(0, 2, 1).reshape((N,) + lead + (C,))

@@ -81,3 +81,64 @@ def extract_geometry_for_dataset(cfg: Config, variables, dataset,
     elapsed = max(time.perf_counter() - (t_start or time.perf_counter()), 1e-9)
     return {"views": len(dataset), "rays": total_rays,
             "rays_per_sec": total_rays / elapsed}
+
+
+def extract_similarity_field(cfg: Config, variables, scene,
+                             reso: int = 128, chunk: int = 65536,
+                             bound: float = 1.0) -> np.ndarray:
+    """Mean pairwise-similarity field over a reso^3 grid in [-bound, bound]^3.
+
+    Debug/analysis path (reference model.py:844-911 extract_similarity /
+    extract_fields): evaluates the 8-group cosine similarity at every grid
+    point, averaged over groups. Use `similarity_mesh` to threshold it.
+    """
+    import jax.numpy as jnp
+
+    from ..models.uforecon import UFORecon, view_pairs
+    from ..models.ray_transformer import query_similarity
+
+    model = UFORecon(cfg)
+    nv = int(scene.source_imgs.shape[0])
+    pi, pj = view_pairs(nv)
+
+    enc = jax.jit(
+        lambda v, s: model.apply(v, s, method=model.encode)
+    )(variables, scene)
+
+    @jax.jit
+    def field_chunk(pts):
+        sim, _, valid = query_similarity(
+            pts[None], scene.source_poses, enc.aug0, enc.aug1, pi, pj,
+            n_groups=cfg.cos_n_group)
+        mean_sim = jnp.mean(sim[0], axis=-1)
+        all_valid = jnp.all(valid[:, 0], axis=0)
+        return jnp.where(all_valid, mean_sim, -1.0)
+
+    axis = np.linspace(-bound, bound, reso, dtype=np.float32)
+    out = np.empty(reso * reso * reso, np.float32)
+    grid = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"),
+                    -1).reshape(-1, 3)
+    for s in range(0, len(grid), chunk):
+        blk = grid[s:s + chunk]
+        pad = 0
+        if len(blk) < chunk:
+            pad = chunk - len(blk)
+            blk = np.concatenate([blk, np.zeros((pad, 3), np.float32)])
+        vals = np.asarray(field_chunk(jnp.asarray(blk)))
+        out[s:s + chunk - pad if pad else s + chunk] = (
+            vals[:-pad] if pad else vals)
+    return out.reshape(reso, reso, reso)
+
+
+def similarity_mesh(field: np.ndarray, threshold: float = 0.99,
+                    bound: float = 1.0):
+    """Marching-tets over the similarity field (mcubes threshold 0.99,
+    reference model.py:880); vertices mapped back to [-bound, bound]^3."""
+    from ..fusion.marching import marching_tetrahedra
+
+    # surface where similarity crosses the threshold from above
+    verts, faces = marching_tetrahedra(-np.asarray(field), level=-threshold)
+    if len(verts):
+        reso = field.shape[0]
+        verts = verts / (reso - 1) * (2 * bound) - bound
+    return verts, faces

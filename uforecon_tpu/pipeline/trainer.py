@@ -35,6 +35,7 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    batch_stats: Any = None  # BN running stats (eval-mode in render training)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -58,7 +59,15 @@ def create_train_state(cfg: Config, variables) -> TrainState:
     params = variables["params"]
     tx = make_optimizer(cfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      batch_stats=variables.get("batch_stats"))
+
+
+def _variables(params, batch_stats):
+    v = {"params": params}
+    if batch_stats is not None:
+        v["batch_stats"] = batch_stats
+    return v
 
 
 def render_losses(cfg: Config, out: Dict, rgb_gt: jnp.ndarray,
@@ -97,8 +106,8 @@ def make_train_step(cfg: Config, model: UFORecon, tx: optax.GradientTransformati
     rng. The ray axis may carry a 'rays' NamedSharding for multi-chip.
     """
 
-    def loss_fn(params, scene, ray_d, rgb_gt, depth_gt, rng):
-        variables = {"params": params}
+    def loss_fn(params, batch_stats, scene, ray_d, rgb_gt, depth_gt, rng):
+        variables = _variables(params, batch_stats)
         enc = model.apply(variables, scene, method=model.encode)
         out = model.apply(
             variables, scene, enc, ray_d, rng, method=model.render_chunk
@@ -109,11 +118,12 @@ def make_train_step(cfg: Config, model: UFORecon, tx: optax.GradientTransformati
     def train_step(state: TrainState, scene: SceneInputs, ray_d, rgb_gt,
                    depth_gt, rng):
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, scene, ray_d, rgb_gt, depth_gt, rng
+            state.params, state.batch_stats, scene, ray_d, rgb_gt, depth_gt, rng
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), logs
+        return TrainState(params, opt_state, state.step + 1,
+                          state.batch_stats), logs
 
     return train_step
 
@@ -122,8 +132,9 @@ def make_val_step(cfg: Config, model: UFORecon):
     """Jitted validation losses on a ray chunk (model.py:707-726)."""
 
     @jax.jit
-    def val_step(params, scene: SceneInputs, ray_d, rgb_gt, depth_gt, rng):
-        variables = {"params": params}
+    def val_step(params, batch_stats, scene: SceneInputs, ray_d, rgb_gt,
+                 depth_gt, rng):
+        variables = _variables(params, batch_stats)
         enc = model.apply(variables, scene, method=model.encode)
         out = model.apply(
             variables, scene, enc, ray_d, rng, method=model.render_chunk
@@ -166,12 +177,13 @@ def make_mvs_pretrain_step(cfg: Config, model: UFORecon,
     (module.py:617-641) with per-stage weights dlossw.
     """
 
-    def loss_fn(params, scene: SceneInputs, depth_gt_mm, mask, rng):
-        variables = {"params": params}
-        enc = model.apply(
+    def loss_fn(params, batch_stats, scene: SceneInputs, depth_gt_mm, mask, rng):
+        variables = _variables(params, batch_stats)
+        enc, mutated = model.apply(
             variables, scene.source_imgs, scene.proj_matrices,
-            scene.depth_values, False,
+            scene.depth_values, True,
             method=lambda m, *a: m.matcher(*a),
+            mutable=["batch_stats"],
         )
         total = 0.0
         logs = {}
@@ -188,15 +200,16 @@ def make_mvs_pretrain_step(cfg: Config, model: UFORecon,
             total = total + 2.0 * w * l
             logs[f"mvs/entropy_stage{s}"] = l
         logs["mvs/loss"] = total
-        return total, logs
+        return total, (logs, mutated.get("batch_stats"))
 
     @jax.jit
     def pretrain_step(state: TrainState, scene, depth_gt_mm, mask, rng):
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, scene, depth_gt_mm, mask, rng
-        )
+        (loss, (logs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, scene, depth_gt_mm, mask, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), logs
+        bs = new_bs if new_bs is not None else state.batch_stats
+        return TrainState(params, opt_state, state.step + 1, bs), logs
 
     return pretrain_step
