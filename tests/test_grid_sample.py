@@ -53,3 +53,59 @@ def test_in_bounds_mask(rng):
     grid = np.array([[[[-1.0, 0.0], [1.01, 0.0], [0.5, -2.0], [1.0, 1.0]]]], np.float32)
     m = np.asarray(in_bounds_mask(grid))
     np.testing.assert_array_equal(m[0, 0], [1.0, 0.0, 0.0, 1.0])
+
+
+def test_packed_trilinear_matches_grid_sample_3d(rng):
+    from uforecon_tpu.ops.grid_sample import (grid_sample_3d,
+                                              grid_sample_3d_packed,
+                                              pack_volume_corners)
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 9)).astype(np.float32))
+    packed = pack_volume_corners(vol)
+    assert packed.shape == (2, 5, 6, 7, 72)
+    # include points straddling and beyond every boundary
+    grid = jnp.asarray(
+        (rng.random((2, 400, 3)).astype(np.float32) * 2.6 - 1.3))
+    for ac in (True, False):
+        want = grid_sample_3d(vol, grid, align_corners=ac,
+                              padding_mode="zeros")
+        got = grid_sample_3d_packed(packed, grid, align_corners=ac,
+                                    padding_mode="zeros")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_packed_trilinear_border(rng):
+    from uforecon_tpu.ops.grid_sample import (grid_sample_3d,
+                                              grid_sample_3d_packed,
+                                              pack_volume_corners)
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 3)).astype(np.float32))
+    packed = pack_volume_corners(vol)
+    grid = jnp.asarray((rng.random((1, 200, 3)).astype(np.float32) * 2.4 - 1.2))
+    want = grid_sample_3d(vol, grid, align_corners=True, padding_mode="border")
+    got = grid_sample_3d_packed(packed, grid, align_corners=True,
+                                padding_mode="border")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_bilinear_matches_grid_sample_2d(rng):
+    from uforecon_tpu.ops.grid_sample import (grid_sample_2d,
+                                              grid_sample_2d_packed,
+                                              pack_image_corners)
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.standard_normal((3, 7, 9, 5)).astype(np.float32))
+    packed = pack_image_corners(img)
+    assert packed.shape == (3, 7, 9, 20)
+    grid = jnp.asarray((rng.random((3, 500, 2)).astype(np.float32) * 2.6 - 1.3))
+    for ac in (True, False):
+        for pm in ("zeros", "border"):
+            want = grid_sample_2d(img, grid, align_corners=ac, padding_mode=pm)
+            got = grid_sample_2d_packed(packed, grid, align_corners=ac,
+                                        padding_mode=pm)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)

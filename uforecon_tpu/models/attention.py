@@ -39,7 +39,8 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
         keep the huge B axis on the 128-lane dim (no padding).
     """
     s_len = k.shape[1]
-    if s_len <= 16 and q.shape[-1] <= 16 and jax.default_backend() == "tpu":
+    if (s_len <= 8 and q.shape[1] <= 8 and q.shape[-1] <= 16
+            and jax.default_backend() == "tpu"):
         # fused Pallas kernel: points stay on the lane axis, no padding
         from ..ops.pallas_attention import tiny_linear_attention
 

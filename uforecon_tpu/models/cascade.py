@@ -134,11 +134,23 @@ def _correlate_chunked(
     OOMing at the full depth count. (The reference bounds the same memory by
     looping source views, TransMVSNet.py:93-96 — the depth axis chunks
     finer.)"""
-    v, h, w, _ = src_feats.shape
+    from ..ops.grid_sample import grid_sample_2d_packed, pack_image_corners
+
+    v, h, w, c = src_feats.shape
     d = depth_values.shape[0]
+    # pack 2x2 bilinear corners once (chunk-invariant): each warp sample is
+    # then ONE 4C-row gather in the TPU-fast gather form
+    packed = pack_image_corners(src_feats)
 
     def correlate(dv):
-        warped = homo_warp_batch(src_feats, src_projs, ref_proj, dv)
+        dc = dv.shape[0]
+        grids = jax.vmap(
+            lambda p: homo_warp_grid(p, ref_proj, dv, src_feats.dtype)
+        )(src_projs)
+        warped = grid_sample_2d_packed(
+            packed, grids.reshape(v, dc * h * w, 2),
+            align_corners=True, padding_mode="zeros",
+        ).reshape(v, dc, h, w, c)
         return jnp.mean(warped * ref_feat[None, None], axis=-1, keepdims=True)
 
     dc = max(1, min(d, target_rows // max(v * h * w, 1)))

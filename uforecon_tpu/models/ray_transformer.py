@@ -20,7 +20,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_2d, grid_sample_3d, in_bounds_mask
+from ..ops.grid_sample import (grid_sample_2d, grid_sample_2d_packed,
+                               grid_sample_3d, grid_sample_3d_packed,
+                               in_bounds_mask, pack_image_corners)
 from ..ops.posenc import nerf_posenc, order_posenc
 from .attention import LocalFeatureTransformer
 from .layers import MLP
@@ -41,8 +43,8 @@ def query_correlation_volume(
     weights: G = sum_n f_n w_n / sum_n w_n.
 
     Args:
-      volumes: stage -> (feature_volumes (NV, D_s, h_s, w_s, 8),
-                         weight_volumes (NV, D_s, h_s, w_s, 1)).
+      volumes: stage -> corner-packed feat||weight volume
+               (NV, D_s, h_s, w_s, 8*(8+1)); see pack_volume_corners.
 
     Returns:
       (RN, SN, 24) fused features.
@@ -55,11 +57,12 @@ def query_correlation_volume(
 
     feats_per_stage = []
     weight_sum = 0.0
-    for stage, (fv, wv) in volumes.items():
-        f = grid_sample_3d(fv, xyz, align_corners=True, padding_mode="zeros")
-        w = grid_sample_3d(wv, xyz, align_corners=True, padding_mode="zeros")
-        feats_per_stage.append(f)   # (NV, RN, SN, 8)
-        weight_sum = weight_sum + w  # (NV, RN, SN, 1)
+    for stage, packed in volumes.items():
+        # packed (NV, D, h, w, 8*(8+1)): corner-packed feat||weight rows
+        fw = grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                   padding_mode="zeros")
+        feats_per_stage.append(fw[..., :-1])      # (NV, RN, SN, 8)
+        weight_sum = weight_sum + fw[..., -1:]    # (NV, RN, SN, 1)
     feats = jnp.concatenate(feats_per_stage, axis=-1)  # (NV, RN, SN, 24)
 
     g = jnp.sum(feats * weight_sum, axis=0)
@@ -92,10 +95,13 @@ def query_similarity(
 
     xy, _, valid = project_points_ndc(source_poses, points)
 
-    sampled_i = grid_sample_2d(aug0, xy[pairs_i], align_corners=True,
-                               padding_mode="border")  # (P, ..., C)
-    sampled_j = grid_sample_2d(aug1, xy[pairs_j], align_corners=True,
-                               padding_mode="border")
+    # corner-packed rows: 4x32 = 128 values = exactly one lane tile
+    sampled_i = grid_sample_2d_packed(pack_image_corners(aug0), xy[pairs_i],
+                                      align_corners=True,
+                                      padding_mode="border")  # (P, ..., C)
+    sampled_j = grid_sample_2d_packed(pack_image_corners(aug1), xy[pairs_j],
+                                      align_corners=True,
+                                      padding_mode="border")
 
     p, *lead, c = sampled_i.shape
     gi = sampled_i.reshape(p, *lead, n_groups, c // n_groups)
@@ -157,8 +163,12 @@ class RayTransformer(nn.Module):
 
         # sample features / rgb at projections (align=False, zeros; the
         # in-bounds mask is the validity signal — ray_transformer.py:222-254)
-        img_feat = grid_sample_2d(source_feats, points_xy)  # (NV, RN, SN, C)
-        img_rgb = grid_sample_2d(source_imgs, points_xy)    # (NV, RN, SN, 3)
+        # corner-packed gathers (packing is chunk-invariant: XLA hoists it
+        # out of the render chunk loop); rgb||depth-guide share one row
+        img_feat = grid_sample_2d_packed(
+            pack_image_corners(source_feats), points_xy)    # (NV, RN, SN, C)
+        img_rgb = grid_sample_2d_packed(
+            pack_image_corners(source_imgs), points_xy)     # (NV, RN, SN, 3)
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 
         # assemble view-token features: (RN*SN, NV, C)
@@ -173,7 +183,8 @@ class RayTransformer(nn.Module):
             x = jnp.concatenate([x, jnp.broadcast_to(s, (rn * sn, nv, s.shape[-1]))], axis=-1)
         if mvs_depths is not None:
             # depth distance PE (ray_transformer.py:229-247)
-            d_sampled = grid_sample_2d(mvs_depths[..., None], points_xy)[..., 0]
+            d_sampled = grid_sample_2d_packed(
+                pack_image_corners(mvs_depths[..., None]), points_xy)[..., 0]
             cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
                              precision=hp) + src_w2cs[:, None, None, :3, 3]
             depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops import camera as cam_ops
-from ..ops.grid_sample import grid_sample_3d
+from ..ops.grid_sample import grid_sample_3d, pack_volume_corners
 from ..ops.rendering import neus_render
 from ..ops.sampling import merge_z_sorted, sample_coarse, sample_importance
 from .cascade import CascadeMatcher
@@ -117,7 +117,14 @@ class UFORecon(nn.Module):
         if c.volume_type == "correlation" and c.volume_reso > 0:
             for stage, cv in enc["cost_volumes"].items():
                 f, w = self.mvs_volume(cv[..., None])
-                volumes[stage] = (f, w)
+                # corner-pack feat||weight: one 72-value gather row per
+                # trilinear sample in the render loop instead of 16 tiny
+                # rows (each padded to 128 lanes) — the dominant render
+                # cost. Stored bf16: 8x corner duplication would not fit
+                # v5e HBM in f32, and these are post-U-Net features.
+                volumes[stage] = pack_volume_corners(
+                    jnp.concatenate([f, w], axis=-1)
+                ).astype(jnp.bfloat16)
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_grid = self.feature_volume(
                 enc["backbone_stage1"], scene.source_poses, train

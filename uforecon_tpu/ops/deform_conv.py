@@ -58,33 +58,46 @@ def deform_conv2d(
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    # Channels-first gather buffers (N, C, P): the huge pixel axis rides the
-    # 128-lane dim. Materializing all KK taps at once as (N, H, W, KK, C)
-    # cost 4x 8.8GB of padded HLO temps at 800x640 (v5e OOM) — instead
-    # accumulate tap-by-tap, contracting each tap against its (C, Cout)
-    # weight slice on the MXU before the next tap's gather.
-    flat_t = x.reshape(n, h * w, c).transpose(0, 2, 1)  # (N, C, HW)
+    # Corner-packed gathers, tap-by-tap accumulation. Two TPU constraints
+    # shape this:
+    #   * materializing all KK taps at once as (N, H, W, KK, C) cost 4x
+    #     8.8GB of padded HLO temps at 800x640 (v5e OOM);
+    #   * gathers must index the second-minor axis with value rows on lanes
+    #     (the canonical XLA:TPU gather); packing the 2x2 bilinear corners
+    #     into one 4C row makes each tap ONE such gather instead of four.
+    # Each tap's sample is contracted against its (C, Cout) weight slice on
+    # the MXU before the next tap's gather.
+    from .grid_sample import pack_image_corners
+
+    packed = pack_image_corners(x).reshape(n, h * w, 4 * c)
     w_taps = weight.reshape(kk, c, cout)
     hp = jax.lax.Precision.HIGHEST
 
-    def sample_tap(yi, xi, wgt):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        v = jnp.take_along_axis(flat_t, idx.reshape(n, 1, -1), axis=2)
-        return v * (wgt * valid.astype(x.dtype)).reshape(n, 1, -1)
+    def sample_tap(yi, xi, fy, fx):
+        y0c = jnp.clip(yi, 0, h - 1)
+        x0c = jnp.clip(xi, 0, w - 1)
+        # clamped-base weights reproduce zeros padding (see
+        # grid_sample_2d_packed): w0 = clip(1-|f|,0,1), w1 = clip(f,0,1)
+        # with f measured from the clamped base
+        fy = fy + (yi - y0c).astype(x.dtype)
+        fx = fx + (xi - x0c).astype(x.dtype)
+        wy0 = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)
+        wy1 = jnp.clip(fy, 0.0, 1.0)
+        wx0 = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
+        wx1 = jnp.clip(fx, 0.0, 1.0)
+        idx = (y0c * w + x0c).reshape(n, -1)
+        rows = jnp.take_along_axis(packed, idx[..., None], axis=1)  # (N,P,4C)
+        out = (rows[..., 0 * c:1 * c] * (wy0 * wx0).reshape(n, -1, 1)
+               + rows[..., 1 * c:2 * c] * (wy0 * wx1).reshape(n, -1, 1)
+               + rows[..., 2 * c:3 * c] * (wy1 * wx0).reshape(n, -1, 1)
+               + rows[..., 3 * c:4 * c] * (wy1 * wx1).reshape(n, -1, 1))
+        return out  # (N, P, C)
 
     out = jnp.zeros((n, h * w, cout), x.dtype)
     for k in range(kk):
-        oy, ox = y0i[..., k], x0i[..., k]
-        ty, tx = wy[..., k], wx[..., k]
-        tap = (
-            sample_tap(oy, ox, (1 - ty) * (1 - tx))
-            + sample_tap(oy, ox + 1, (1 - ty) * tx)
-            + sample_tap(oy + 1, ox, ty * (1 - tx))
-            + sample_tap(oy + 1, ox + 1, ty * tx)
-        )  # (N, C, HW)
-        tap = tap * mask[..., k].reshape(n, 1, -1)
-        out = out + jnp.einsum("ncp,co->npo", tap, w_taps[k], precision=hp)
+        tap = sample_tap(y0i[..., k], x0i[..., k], wy[..., k], wx[..., k])
+        tap = tap * mask[..., k].reshape(n, -1, 1)
+        out = out + jnp.einsum("npc,co->npo", tap, w_taps[k], precision=hp)
 
     out = out.reshape(n, h, w, cout)
     if bias is not None:

@@ -71,17 +71,19 @@ def grid_sample_2d(
     x1 = x0 + 1
     y1 = y0 + 1
 
-    # Channels-FIRST gather layout: buffers are (N, C, P) so the huge P axis
-    # sits on the 128-lane dimension. Channels-last (N, P, C) puts a small C
-    # (8-32) on lanes, and TPU tiling pads it 4-16x — at full render
-    # resolution that turned 1.6GB of temps into 8.8GB (v5e OOM).
-    flat_t = image.reshape(N, H * W, C).transpose(0, 2, 1)  # (N, C, HW)
+    # Channels-last row gathers: the TPU-fast gather form indexes the
+    # second-minor axis with rows of C values on lanes. Rows with C < 128
+    # pad to a full lane tile, so HOT paths should corner-pack first
+    # (pack_image_corners + grid_sample_2d_packed: one 4C row per sample).
+    # Gathering along the lane axis instead (channels-first) lowers to a
+    # pathologically slow path (~100x) — do not "optimize" back to it.
+    flat = image.reshape(N, H * W, C)
 
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        v = jnp.take_along_axis(flat_t, idx[:, None, :], axis=2)  # (N, C, P)
-        return v * (w * valid.astype(image.dtype))[:, None, :]
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
+        return v * (w * valid.astype(image.dtype))[..., None]
 
     out = (
         corner(x0, y0, (1 - wx) * (1 - wy))
@@ -89,7 +91,147 @@ def grid_sample_2d(
         + corner(x0, y1, (1 - wx) * wy)
         + corner(x1, y1, wx * wy)
     )
-    return out.transpose(0, 2, 1).reshape((N,) + lead + (C,))
+    return out.reshape((N,) + lead + (C,))
+
+
+def pack_image_corners(img: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W, 4*C): entry (y, x) holds the 2x2 corner
+    neighborhood starting at (y, x), zero-padded at the +1 edges. One gather
+    row per bilinear sample instead of four (see pack_volume_corners)."""
+    parts = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            shifted = img[:, dy:, dx:, :]
+            pad = ((0, 0), (0, dy), (0, dx), (0, 0))
+            parts.append(jnp.pad(shifted, pad))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def grid_sample_2d_packed(
+    packed: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sampling from a corner-packed image (see pack_image_corners).
+    Bit-equivalent to grid_sample_2d on the unpacked image; one gather per
+    point instead of four."""
+    assert padding_mode in ("zeros", "border"), padding_mode
+    N, H, W, C4 = packed.shape
+    C = C4 // 4
+    lead = grid.shape[1:-1]
+    g = grid.reshape(N, -1, 2)
+
+    x = _unnormalize(g[..., 0], W, align_corners)
+    y = _unnormalize(g[..., 1], H, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+    fx = x - x0.astype(x.dtype)
+    fy = y - y0.astype(y.dtype)
+
+    idx = y0 * W + x0
+    flat = packed.reshape(N, H * W, C4)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, 4C)
+
+    def w01(f):
+        return jnp.clip(1.0 - jnp.abs(f), 0.0, 1.0), jnp.clip(f, 0.0, 1.0)
+
+    wx0, wx1 = w01(fx)
+    wy0, wy1 = w01(fy)
+    out = 0.0
+    for c, (dy, dx) in enumerate([(a, b) for a in (0, 1) for b in (0, 1)]):
+        wgt = (wy1 if dy else wy0) * (wx1 if dx else wx0)
+        out = out + rows[..., c * C:(c + 1) * C] * wgt[..., None]
+    return out.reshape((N,) + lead + (C,))
+
+
+def pack_volume_corners(vol: jnp.ndarray) -> jnp.ndarray:
+    """(N, D, H, W, C) -> (N, D, H, W, 8*C): entry (z, y, x) holds the
+    2x2x2 corner neighborhood starting at (z, y, x), zero-padded at the +1
+    edges (matching 'zeros' padding for the high side).
+
+    Trades 8x volume memory for ONE gather row per trilinear sample instead
+    of eight: on TPU a gather row of C<=16 values pads to a full 128-lane
+    tile, so 8 tiny rows cost ~16x the bytes of one 8C row. Use with
+    grid_sample_3d_packed.
+    """
+    parts = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                shifted = vol[:, dz:, dy:, dx:, :]
+                pad = ((0, 0), (0, dz), (0, dy), (0, dx), (0, 0))
+                parts.append(jnp.pad(shifted, pad))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def grid_sample_3d_packed(
+    packed: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Trilinear sampling from a corner-packed volume (see
+    pack_volume_corners). Bit-equivalent to grid_sample_3d on the unpacked
+    volume (tests/test_grid_sample.py), one gather per point instead of 8.
+
+    Args:
+      packed: (N, D, H, W, 8*C).
+      grid:   (N, ..., 3) normalized (x, y, z) torch-order coordinates.
+
+    Returns:
+      (N, ..., C).
+    """
+    assert padding_mode in ("zeros", "border"), padding_mode
+    N, D, H, W, C8 = packed.shape
+    C = C8 // 8
+    lead = grid.shape[1:-1]
+    g = grid.reshape(N, -1, 3)
+
+    x = _unnormalize(g[..., 0], W, align_corners)
+    y = _unnormalize(g[..., 1], H, align_corners)
+    z = _unnormalize(g[..., 2], D, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+
+    # One row holds all 8 corners of the cell at the CLAMPED base index.
+    # Zero-padding semantics follow from the clamped-base weight scheme:
+    # with f = coord - clamped_base, w0 = clip(1-|f|, 0, 1) and
+    # w1 = clip(f, 0, 1) reproduce bilinear weights in the interior, fade
+    # the surviving corner correctly within one voxel outside the low edge,
+    # and vanish beyond; the packing's zero pad handles the high edge.
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(z), 0, D - 1).astype(jnp.int32)
+    fx = x - x0.astype(x.dtype)
+    fy = y - y0.astype(y.dtype)
+    fz = z - z0.astype(z.dtype)
+
+    idx = (z0 * H + y0) * W + x0
+    flat = packed.reshape(N, D * H * W, C8)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, 8C)
+
+    def w01(f):
+        return jnp.clip(1.0 - jnp.abs(f), 0.0, 1.0), jnp.clip(f, 0.0, 1.0)
+
+    wx0, wx1 = w01(fx)
+    wy0, wy1 = w01(fy)
+    wz0, wz1 = w01(fz)
+
+    out = 0.0
+    for c, (dz, dy, dx) in enumerate(
+            [(a, b, cc) for a in (0, 1) for b in (0, 1) for cc in (0, 1)]):
+        wgt = ((wz1 if dz else wz0)
+               * (wy1 if dy else wy0)
+               * (wx1 if dx else wx0))
+        out = out + rows[..., c * C:(c + 1) * C] * wgt[..., None]
+    return out.reshape((N,) + lead + (C,))
 
 
 def grid_sample_3d(
@@ -125,8 +267,8 @@ def grid_sample_3d(
     x0, y0, z0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32), z0f.astype(jnp.int32)
     x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
 
-    # channels-first gathers: see grid_sample_2d layout note
-    flat_t = volume.reshape(N, D * H * W, C).transpose(0, 2, 1)  # (N, C, DHW)
+    # channels-last row gathers: see grid_sample_2d layout note
+    flat = volume.reshape(N, D * H * W, C)
 
     def corner(xi, yi, zi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D)
@@ -135,8 +277,8 @@ def grid_sample_3d(
             + jnp.clip(yi, 0, H - 1) * W
             + jnp.clip(xi, 0, W - 1)
         )
-        v = jnp.take_along_axis(flat_t, idx[:, None, :], axis=2)  # (N, C, P)
-        return v * (w * valid.astype(volume.dtype))[:, None, :]
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
+        return v * (w * valid.astype(volume.dtype))[..., None]
 
     out = (
         corner(x0, y0, z0, (1 - wx) * (1 - wy) * (1 - wz))
@@ -148,4 +290,4 @@ def grid_sample_3d(
         + corner(x0, y1, z1, (1 - wx) * wy * wz)
         + corner(x1, y1, z1, wx * wy * wz)
     )
-    return out.transpose(0, 2, 1).reshape((N,) + lead + (C,))
+    return out.reshape((N,) + lead + (C,))

@@ -28,11 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6
-_BLK = 256
+_BLK = 128
 
 
 def _phi(x):
-    return jax.nn.elu(x) + 1.0
+    # elu(x) + 1 without expm1 (not lowered by Pallas TPU):
+    # x > 0 -> x + 1;  x <= 0 -> exp(x)
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
 def _dphi(x):

@@ -101,5 +101,11 @@ def render_trajectory(verts: np.ndarray, faces: np.ndarray,
         if out_path.endswith(".gif"):
             imageio.mimsave(out_path, frames, duration=1.0 / fps)
         else:
-            imageio.mimsave(out_path, frames, fps=fps)
+            try:
+                imageio.mimsave(out_path, frames, fps=fps)
+            except Exception:
+                # no ffmpeg backend in this environment -> gif fallback
+                gif = os.path.splitext(out_path)[0] + ".gif"
+                imageio.mimsave(gif, frames, duration=1.0 / fps)
+                print(f"video backend unavailable; wrote {gif} instead")
     return frames
