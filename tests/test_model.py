@@ -41,3 +41,63 @@ def test_model_encode_and_render(rng):
     # rendered rgb is a convex blend of sampled image colors -> within [0,1]
     assert np.asarray(out["fine"]["rgb"]).min() >= -1e-4
     assert np.asarray(out["fine"]["rgb"]).max() <= 1 + 1e-4
+
+
+@pytest.mark.slow
+def test_featuregrid_volume_path(rng):
+    """The alternative --volume_type featuregrid path renders end to end
+    (reference feature_volume.py:40-97)."""
+    cfg = Config(
+        ndepths=(8, 8, 8),
+        fmt_layer_names=("self", "cross"),
+        coarse_sample=8,
+        fine_sample=8,
+        volume_type="featuregrid",
+        volume_reso=16,
+        fea_volume_dim=16,
+    )
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
+    out = jax.jit(
+        lambda v, s, r, k: model.apply(v, s, r, k)
+    )(variables, scene, extras["ray_d"][:8], jax.random.PRNGKey(1))
+    assert out["fine"]["rgb"].shape == (8, 3)
+    assert np.all(np.isfinite(np.asarray(out["fine"]["depth"])))
+
+
+@pytest.mark.slow
+def test_mvs_pretrain_step(rng):
+    """Cascade pretraining step: entropy loss is finite, matcher params AND
+    BN stats update (the reference relies on a pretrained TransMVSNet ckpt;
+    we train it — trainer.py make_mvs_pretrain_step)."""
+    from uforecon_tpu.pipeline.trainer import (create_train_state,
+                                               make_mvs_pretrain_step)
+    import optax
+
+    cfg = Config(
+        ndepths=(8, 8, 8),
+        fmt_layer_names=("self", "cross"),
+        coarse_sample=8,
+        fine_sample=8,
+        volume_type="correlation",
+    )
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
+
+    tx = optax.adam(1e-3)
+    state = create_train_state(cfg, variables)
+    state = state._replace(opt_state=tx.init(state.params))
+    step = make_mvs_pretrain_step(cfg, model, tx)
+
+    depth_gt = jnp.full((32, 32), float(scene.near) + 0.5)
+    mask = jnp.ones((32, 32))
+    new_state, logs = step(state, scene, depth_gt, mask, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["mvs/loss"]))
+    before = jax.tree_util.tree_leaves(state.params["matcher"])
+    after = jax.tree_util.tree_leaves(new_state.params["matcher"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))

@@ -51,6 +51,7 @@ def scene_inputs_from_sample(sample: Dict) -> Tuple[SceneInputs, Dict]:
             sample.get("intrinsic_render_view", sample["intrinsics"][0])
         ),
         "depths_h": np.asarray(sample["depths_h"]) if "depths_h" in sample else None,
+        "depths_mm": np.asarray(sample["depths_mm"]) if "depths_mm" in sample else None,
         "near_fars": near_fars,
     }
     return scene, extras

@@ -183,6 +183,8 @@ class MVSDataset:
                 self.depth_min, self.depth_interval, self.ndepths
             ),
             "depths_h": depths_h,
+            # raw per-view gt depth in mm (for MVS pretraining supervision)
+            "depths_mm": np.stack(depths),
             "scale_mat": sc["scale_mat"],
             "scale_factor": sc["scale_factor"],
             "trans_mat": w2c_ref_inv.astype(np.float32),

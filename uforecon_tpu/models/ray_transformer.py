@@ -167,8 +167,15 @@ class RayTransformer(nn.Module):
         # out of the render chunk loop); rgb||depth-guide share one row
         img_feat = grid_sample_2d_packed(
             pack_image_corners(source_feats), points_xy)    # (NV, RN, SN, C)
-        img_rgb = grid_sample_2d_packed(
-            pack_image_corners(source_imgs), points_xy)     # (NV, RN, SN, 3)
+        rgb_src = source_imgs
+        if mvs_depths is not None:
+            # rgb and the depth guide live at the same full resolution and
+            # sample at the same grid: one fused gather row
+            rgb_src = jnp.concatenate(
+                [source_imgs, mvs_depths[..., None]], axis=-1)
+        rgbd = grid_sample_2d_packed(
+            pack_image_corners(rgb_src), points_xy)         # (NV, RN, SN, 3[+1])
+        img_rgb = rgbd[..., :3]
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 
         # assemble view-token features: (RN*SN, NV, C)
@@ -183,8 +190,7 @@ class RayTransformer(nn.Module):
             x = jnp.concatenate([x, jnp.broadcast_to(s, (rn * sn, nv, s.shape[-1]))], axis=-1)
         if mvs_depths is not None:
             # depth distance PE (ray_transformer.py:229-247)
-            d_sampled = grid_sample_2d_packed(
-                pack_image_corners(mvs_depths[..., None]), points_xy)[..., 0]
+            d_sampled = rgbd[..., 3]
             cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
                              precision=hp) + src_w2cs[:, None, None, :3, 3]
             depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)

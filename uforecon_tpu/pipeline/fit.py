@@ -154,6 +154,69 @@ def run_validation(cfg: Config, model, state, val_ds, val_step,
     return out
 
 
+def pretrain_mvs(cfg: Config, train_ds=None, variables=None,
+                 max_steps: Optional[int] = None, log_every: int = 20,
+                 n_workers: int = 8) -> TrainState:
+    """Train the cascade matcher on GT depth (TransMVSNet-style entropy
+    loss over the rot-0 pass). The reference relies on a pretrained
+    TransMVSNet checkpoint absent from the snapshot; this produces one.
+    """
+    import optax
+
+    from .trainer import make_mvs_pretrain_step
+
+    if train_ds is None:
+        train_ds, _ = make_train_val_datasets(cfg)
+    rng_np = np.random.default_rng(cfg.seed)
+    if variables is None:
+        Log.info("initializing model (mvs pretraining)...")
+        model, variables = init_model(cfg, train_ds[0], cfg.seed)
+    else:
+        model = UFORecon(cfg)
+
+    tx = optax.adam(cfg.uforecon_lr)
+    state = create_train_state(cfg, variables)
+    state = state._replace(opt_state=tx.init(state.params))
+    step_fn = make_mvs_pretrain_step(cfg, model, tx)
+
+    logdir = os.path.join(cfg.logdir, cfg.exp_name + "_mvs")
+    writer = MetricWriter(logdir)
+    ckpt = CheckpointManager(os.path.join(logdir, "ckpt"), monitor="mvs/loss")
+
+    total = max_steps or cfg.max_epochs * len(train_ds)
+    key = jax.random.PRNGKey(cfg.seed)
+    step = 0
+    while step < total:
+        order = rng_np.permutation(len(train_ds))
+        for sample in _prefetch(train_ds, order, n_workers=n_workers):
+            scene, extras = scene_inputs_from_sample(sample)
+            if extras.get("depths_mm") is not None:
+                # raw mm gt of the MVS-reference view (source view 0 =
+                # stacked view index 1 at train start_idx=1)
+                d = extras["depths_mm"]
+                depth_mm = jnp.asarray(d[1 if d.shape[0] > 1 else 0])
+            elif extras.get("depths_h") is not None:
+                depth_mm = jnp.asarray(
+                    extras["depths_h"][1 if extras["depths_h"].shape[0] > 1 else 0]
+                    / max(float(scene.scale_factor), 1e-9))
+            else:
+                continue
+            mask = (depth_mm > 0).astype(jnp.float32)
+            key, sub = jax.random.split(key)
+            state, logs = step_fn(state, scene, depth_mm, mask, sub)
+            step += 1
+            if step % log_every == 0 or step == 1:
+                vals = {k: float(v) for k, v in logs.items()}
+                writer.scalars(step, vals)
+                Log.info(f"mvs step {step}/{total} loss={vals['mvs/loss']:.4f}")
+            if step >= total:
+                break
+        ckpt.save(step, state._asdict(),
+                  {"mvs/loss": float(logs["mvs/loss"])})
+    writer.close()
+    return state
+
+
 def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
         max_steps: Optional[int] = None, val_every: Optional[int] = None,
         log_every: int = 20, n_workers: int = 8) -> TrainState:
