@@ -62,6 +62,23 @@ def run_extract(cfg):
                                              seed=cfg.seed)
         Log.ok(f"{getattr(ds, 'scan_id', cfg.test_scan)}: "
                f"{stats['views']} views, {stats['rays_per_sec']:.0f} rays/s")
+        if cfg.extract_similarity:
+            import numpy as np
+
+            from uforecon_tpu.data.convert import scene_inputs_from_sample
+            from uforecon_tpu.data.io import write_ply
+            from uforecon_tpu.pipeline.extract import (
+                extract_similarity_field, similarity_mesh)
+
+            scene_in, _ = scene_inputs_from_sample(ds[0])
+            field = extract_similarity_field(cfg, variables, scene_in,
+                                             reso=cfg.sim_reso)
+            verts, faces = similarity_mesh(field, threshold=cfg.sim_threshold)
+            scan = getattr(ds, "scan_id", cfg.test_scan)
+            out = os.path.join(cfg.out_dir, "similarity", f"{scan}.ply")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            write_ply(out, verts, faces=faces if len(faces) else None)
+            Log.ok(f"similarity field -> {out} ({len(verts)} verts)")
 
 
 def run_train(cfg):

@@ -92,3 +92,29 @@ def test_neus_render_matches_torch_reference(rng):
     np.testing.assert_allclose(np.asarray(out["weight"]), weight.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["rgb"]), rgb_ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["depth"]), depth_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_gmflow_sample_and_splits(rng):
+    import jax.numpy as jnp
+    from uforecon_tpu.ops.gmflow import (merge_splits, normalize_img,
+                                         sample_features_by_grid,
+                                         split_feature)
+    from uforecon_tpu.ops.grid_sample import grid_sample_2d
+
+    feats = jnp.asarray(rng.standard_normal((2, 8, 12, 4)).astype(np.float32))
+    grid = jnp.asarray((rng.random((2, 50, 2)) * 1.6 - 0.8).astype(np.float32))
+    # radius 0 == plain grid sample
+    a = sample_features_by_grid(feats, grid, local_radius=0)
+    b = grid_sample_2d(feats, grid, align_corners=True, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # radius 1 smooths: constant features stay constant
+    const = jnp.ones((2, 8, 12, 4))
+    c = sample_features_by_grid(const, grid, local_radius=1)
+    np.testing.assert_allclose(np.asarray(c), 1.0, atol=1e-5)
+    # split/merge roundtrip
+    f = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(merge_splits(split_feature(f, 2), 2)), np.asarray(f))
+    rgb = jnp.ones((2, 8, 12, 3))
+    i0, i1 = normalize_img(rgb, rgb)
+    assert np.isfinite(np.asarray(i0)).all()

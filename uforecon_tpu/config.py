@@ -53,6 +53,12 @@ class Config:
     set: int = 0
     test_coarse_only: bool = False
     test_dir: str = ""
+    extract_similarity: bool = False     # debug: mean-similarity iso-surface
+    sim_reso: int = 128
+    sim_threshold: float = 0.99
+    train_list: str = ""                 # override packaged DTU split lists
+    val_list: str = ""
+    pair_file: str = ""                  # override packaged dtu_pairs.txt
 
     # ---- correlation / cascade MVS ----------------------------------------
     ndepths: Tuple[int, ...] = (48, 32, 8)
@@ -153,6 +159,12 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     p.add_argument("--test_scan", type=str, default=dflt.test_scan)
     p.add_argument("--set", type=int, default=dflt.set)
     p.add_argument("--test_coarse_only", action="store_true")
+    p.add_argument("--extract_similarity", action="store_true")
+    p.add_argument("--sim_reso", type=int, default=dflt.sim_reso)
+    p.add_argument("--sim_threshold", type=float, default=dflt.sim_threshold)
+    p.add_argument("--train_list", type=str, default=dflt.train_list)
+    p.add_argument("--val_list", type=str, default=dflt.val_list)
+    p.add_argument("--pair_file", type=str, default=dflt.pair_file)
     p.add_argument("--test_dir", type=str, default=dflt.test_dir)
     p.add_argument("--ndepths", type=str, default="48,32,8")
     p.add_argument("--depth_inter_r", type=str, default="4,2,1")
@@ -190,6 +202,9 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
         test_n_view=a.test_n_view, test_ray_num=a.test_ray_num,
         test_ref_view=tuple(a.test_ref_view), test_scan=a.test_scan, set=a.set,
         test_coarse_only=a.test_coarse_only, test_dir=a.test_dir,
+        extract_similarity=a.extract_similarity, sim_reso=a.sim_reso,
+        sim_threshold=a.sim_threshold, train_list=a.train_list,
+        val_list=a.val_list, pair_file=a.pair_file,
         ndepths=ints(a.ndepths), depth_inter_r=floats(a.depth_inter_r),
         cr_base_chs=ints(a.cr_base_chs), numdepth=a.numdepth, share_cr=a.share_cr,
         grad_method=a.grad_method, volume_type=a.volume_type, volume_reso=a.volume_reso,

@@ -112,19 +112,41 @@ class UFORecon(nn.Module):
         enc = self.matcher(
             scene.source_imgs, scene.proj_matrices, scene.depth_values, train
         )
+        # The matcher is frozen during render training (reference
+        # model.py:82-83 requires_grad=False); cutting gradients here also
+        # cuts the entire cascade backward graph out of the train step
+        # (42GB -> fits). MVS pretraining calls self.matcher directly and
+        # keeps its gradients.
+        enc = jax.lax.stop_gradient(enc)
         volumes = {}
         fea_grid = None
         if c.volume_type == "correlation" and c.volume_reso > 0:
             for stage, cv in enc["cost_volumes"].items():
-                f, w = self.mvs_volume(cv[..., None])
                 # corner-pack feat||weight: one 72-value gather row per
                 # trilinear sample in the render loop instead of 16 tiny
                 # rows (each padded to 128 lanes) — the dominant render
                 # cost. Stored bf16: 8x corner duplication would not fit
                 # v5e HBM in f32, and these are post-U-Net features.
-                volumes[stage] = pack_volume_corners(
-                    jnp.concatenate([f, w], axis=-1)
-                ).astype(jnp.bfloat16)
+                # The volume head is the one TRAINED encode-side module;
+                # scan rotations + remat so the 3D U-Net's fwd+bwd temps
+                # (21x lane-padded at train res) exist for one rotation at
+                # a time. Harmless at inference too (lowers eval peak).
+                # corner-packing INSIDE the scan: a stacked (R, D, H, W, 9)
+                # tensor pads 14x on its 9-channel minor dim (1.9GB at
+                # train res); per-rotation it is transient and the scan
+                # output is already the 72-channel packed layout
+                def head(mdl, carry, cv_r):
+                    f, w = mdl.mvs_volume(cv_r[None, ..., None])
+                    fw = jnp.concatenate([f, w], axis=-1)
+                    return carry, pack_volume_corners(fw).astype(jnp.bfloat16)[0]
+
+                scan = nn.scan(
+                    nn.remat(head, prevent_cse=False),
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=0, out_axes=0,
+                )
+                _, volumes[stage] = scan(self, None, cv)
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_grid = self.feature_volume(
                 enc["backbone_stage1"], scene.source_poses, train

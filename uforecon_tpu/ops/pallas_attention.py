@@ -86,16 +86,20 @@ def _bwd_kernel(L, S, H, D, M, q_ref, k_ref, v_ref, g_ref,
     denom = denom + _EPS
     out = out / denom
 
+    # per-s results collected in python lists (static S) and stacked —
+    # scatter (.at[].set) is not lowered by Pallas TPU
     dqf = jnp.zeros((L, H, D, blk), jnp.float32)
-    dkf = jnp.zeros((S, H, D, blk), jnp.float32)
-    dv = jnp.zeros((S, H, M, blk), jnp.float32)
+    dkf_parts = []
+    dv_parts = []
     for s in range(S):
         sc_over_z = scs[s][:, :, None, :] / denom        # (L, H, 1, blk)
-        dv = dv.at[s].set(jnp.sum(sc_over_z * g, axis=0))
+        dv_parts.append(jnp.sum(sc_over_z * g, axis=0))  # (H, M, blk)
         # ds[l,s,h] = sum_m g[l,h,m] * (v[s,h,m] - out[l,h,m]) / z[l,h]
         ds = jnp.sum(g * (vv[s][None] - out), axis=2) / denom[:, :, 0, :]
         dqf = dqf + ds[:, :, None, :] * kf[s][None]      # (L, H, D, blk)
-        dkf = dkf.at[s].set(jnp.sum(ds[:, :, None, :] * qf, axis=0))
+        dkf_parts.append(jnp.sum(ds[:, :, None, :] * qf, axis=0))
+    dkf = jnp.stack(dkf_parts)                           # (S, H, D, blk)
+    dv = jnp.stack(dv_parts)                             # (S, H, M, blk)
 
     dq_ref[:] = (dqf * _dphi(q)).reshape(L * H * D, blk)
     dk_ref[:] = (dkf * _dphi(k)).reshape(S * H * D, blk)

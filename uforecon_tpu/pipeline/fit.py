@@ -46,6 +46,12 @@ def make_train_val_datasets(cfg: Config):
     from ..data.dtu_train import MVSDataset
 
     paths = default_split_paths()
+    if cfg.train_list:
+        paths["train"] = cfg.train_list
+    if cfg.val_list:
+        paths["test"] = cfg.val_list
+    if cfg.pair_file:
+        paths["pair"] = cfg.pair_file
     train_ds = MVSDataset(
         root_dir=cfg.root_dir, split="train", split_filepath=paths["train"],
         pair_filepath=paths["pair"], n_views=cfg.train_n_view,
@@ -134,12 +140,15 @@ def run_validation(cfg: Config, model, state, val_ds, val_step,
             logs, rgb_f, depth_f = val_step(
                 state.params, state.batch_stats, scene, jnp.asarray(ray_d),
                 jnp.asarray(rgb_gt), jnp.asarray(depth_gt), sub)
-            rgbs.append(np.asarray(rgb_f))
-            depths.append(np.asarray(depth_f))
+            # keep everything on device until the image is assembled — a
+            # host fetch per chunk costs ~0.6s of round-trip on remote TPUs
+            rgbs.append(rgb_f)
+            depths.append(depth_f)
             for k, v in logs.items():
-                logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
+                logs_sum[k] = logs_sum.get(k, 0.0) + v
             n_chunks += 1
-        rgb_img = np.concatenate(rgbs)[:total].reshape(h, w, 3)
+        logs_sum = {k: float(v) for k, v in logs_sum.items()}
+        rgb_img = np.concatenate([np.asarray(r) for r in rgbs])[:total].reshape(h, w, 3)
         gt_img = extras["ref_img"].reshape(h, w, 3)
         p = float(psnr(jnp.asarray(rgb_img), jnp.asarray(gt_img)))
         rec = {k.replace("train/", "val/loss_"): v / n_chunks
@@ -281,7 +290,8 @@ def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
                 Log.info(f"step {step}/{total_steps} "
                          f"loss={vals.get('train/loss_all', 0):.4f}")
             if val_every and step % val_every == 0:
-                metrics = run_validation(cfg, model, state, val_ds, val_step)
+                metrics = run_validation(cfg, model, state, val_ds, val_step,
+                                         max_samples=1 if cfg.debug else None)
                 writer.scalars(step, metrics)
                 ckpt.save(step, state._asdict(), metrics)
             if step >= total_steps:
