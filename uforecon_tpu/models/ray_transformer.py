@@ -116,7 +116,20 @@ def query_similarity(
 
 
 class RayTransformer(nn.Module):
-    """View + ray linear-attention SRDF head (ray_transformer.py:86-322)."""
+    """View + ray linear-attention SRDF head (ray_transformer.py:86-322).
+
+    Split into two stages so the renderer can cache per-point work:
+
+      * ``per_point`` — feature gathers, view-token transformer, radiance
+        blend. Strictly independent across sample points, so the fine pass
+        only runs it on the NEW importance samples and reuses the coarse
+        pass's outputs (the reference re-evaluates all merged samples,
+        model.py:466-473 — identical math, 33% less work).
+      * ``along_ray`` — order positional encoding + ray transformer + SRDF
+        MLP over a z-sorted sample sequence.
+
+    ``__call__`` chains both (the reference's single forward).
+    """
 
     img_feat_dim: int = 32
     fea_volume_dim: int = 24
@@ -135,8 +148,26 @@ class RayTransformer(nn.Module):
             d += 27
         return d
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        # attribute names define the param paths — keep them identical to the
+        # previous nn.compact names for checkpoint compatibility
+        self.pre_sim_mlp = MLP((32, 32, self.sim_feat_fix), dtype=self.dtype)
+        self.density_view_transformer = LocalFeatureTransformer(
+            d_model=self.d_view, n_heads=self.n_heads, layer_names=("self",),
+            dtype=self.dtype,
+        )
+        self.density_ray_transformer = LocalFeatureTransformer(
+            d_model=self.d_view + self.pe_d_hid, n_heads=self.n_heads,
+            layer_names=("self",), dtype=self.dtype,
+        )
+        self.density_mlp = MLP((32, 16, 1), dtype=self.dtype)
+        self.linear_radianceweight_1_softmax = MLP((16, 8, 1), dtype=self.dtype)
+        # learnable view token (ray_transformer.py:325-331)
+        self.view_token = self.param(
+            "view_token", nn.initializers.normal(1.0), (1, self.d_view)
+        )
+
+    def per_point(
         self,
         points: jnp.ndarray,              # (RN, SN, 3)
         source_imgs: jnp.ndarray,         # (NV, H, W, 3)
@@ -149,7 +180,9 @@ class RayTransformer(nn.Module):
         fea_volume_feat: Optional[jnp.ndarray] = None,  # (RN, SN, Dv)
         sim_feat: Optional[jnp.ndarray] = None,         # (RN, SN, 8)
         mvs_depths: Optional[jnp.ndarray] = None,       # (NV, H, W)
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-point stage. Returns ``token`` (RN, SN, C) — the view-token
+        output consumed by ``along_ray`` — and ``radiance`` (RN, SN, 3)."""
         rn, sn, _ = points.shape
         nv = source_imgs.shape[0]
         hp = jax.lax.Precision.HIGHEST
@@ -184,8 +217,7 @@ class RayTransformer(nn.Module):
             vol = fea_volume_feat.reshape(rn * sn, 1, -1)
             x = jnp.concatenate([x, jnp.broadcast_to(vol, (rn * sn, nv, vol.shape[-1]))], axis=-1)
         if sim_feat is not None:
-            s = MLP((32, 32, self.sim_feat_fix), dtype=self.dtype,
-                    name="pre_sim_mlp")(sim_feat)
+            s = self.pre_sim_mlp(sim_feat)
             s = s.reshape(rn * sn, 1, -1)
             x = jnp.concatenate([x, jnp.broadcast_to(s, (rn * sn, nv, s.shape[-1]))], axis=-1)
         if mvs_depths is not None:
@@ -202,43 +234,52 @@ class RayTransformer(nn.Module):
             dpe = dpe.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
             x = jnp.concatenate([x, dpe], axis=-1)
 
-        # learnable view token (ray_transformer.py:325-331)
-        token = self.param("view_token", nn.initializers.normal(1.0),
-                           (1, self.d_view))
-        token = jnp.broadcast_to(token[None], (rn * sn, 1, self.d_view))
+        token = jnp.broadcast_to(
+            self.view_token[None], (rn * sn, 1, self.d_view)
+        )
         x = jnp.concatenate([token.astype(x.dtype), x], axis=1)
-
-        x = LocalFeatureTransformer(
-            d_model=self.d_view, n_heads=self.n_heads, layer_names=("self",),
-            dtype=self.dtype, name="density_view_transformer",
-        )(x)
+        x = self.density_view_transformer(x)
 
         token_out = x[:, 0]          # (RN*SN, C)
         view_feature = x[:, 1:]      # (RN*SN, NV, C)
-
-        # ray transformer with order positional encoding
-        y = token_out.reshape(rn, sn, -1)
-        pe_order = jnp.asarray(order_posenc(self.pe_d_hid, sn), y.dtype)
-        y = jnp.concatenate(
-            [y, jnp.broadcast_to(pe_order[None], (rn, sn, self.pe_d_hid))], axis=-1
-        )
-        y = LocalFeatureTransformer(
-            d_model=self.d_view + self.pe_d_hid, n_heads=self.n_heads,
-            layer_names=("self",), dtype=self.dtype,
-            name="density_ray_transformer",
-        )(y)
-
-        srdf = MLP((32, 16, 1), dtype=self.dtype, name="density_mlp")(y)[..., 0]
 
         # radiance: masked softmax blend over views (ray_transformer.py:310-321)
         vf = view_feature.reshape(rn, sn, nv, -1)
         dr = dir_relative.transpose(1, 2, 0, 3)  # (RN, SN, NV, 3)
         xw = jnp.concatenate([vf, dr], axis=-1)
-        xw = MLP((16, 8, 1), dtype=self.dtype,
-                 name="linear_radianceweight_1_softmax")(xw)
+        xw = self.linear_radianceweight_1_softmax(xw)
         m = mask.transpose(1, 2, 0)[..., None]  # (RN, SN, NV, 1)
         xw = jnp.where(m == 0, -1e9, xw)
         w = jax.nn.softmax(xw, axis=-2)
         radiance = jnp.sum(img_rgb.transpose(1, 2, 0, 3) * w, axis=2)  # (RN, SN, 3)
 
-        return radiance, srdf
+        return {"token": token_out.reshape(rn, sn, -1), "radiance": radiance}
+
+    def along_ray(self, token: jnp.ndarray) -> jnp.ndarray:
+        """Ray transformer over a z-sorted sample sequence -> SRDF.
+
+        Order positional encoding indexes position in the SORTED sequence
+        (reference ray_transformer.py:165-173 runs after the coarse+fine z
+        merge), so it must be applied post-merge — hence a separate stage.
+
+        Args:
+          token: (RN, SN, C) per-point view-token features in z order.
+
+        Returns:
+          (RN, SN) SRDF values.
+        """
+        rn, sn, _ = token.shape
+        pe_order = jnp.asarray(order_posenc(self.pe_d_hid, sn), token.dtype)
+        y = jnp.concatenate(
+            [token, jnp.broadcast_to(pe_order[None], (rn, sn, self.pe_d_hid))],
+            axis=-1,
+        )
+        y = self.density_ray_transformer(y)
+        return self.density_mlp(y)[..., 0]
+
+    def __call__(self, *args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full forward (reference RayTransformer.forward): per-point stage
+        then ray stage. Returns (radiance, srdf)."""
+        pp = self.per_point(*args, **kwargs)
+        srdf = self.along_ray(pp["token"])
+        return pp["radiance"], srdf

@@ -26,7 +26,7 @@ from ..config import Config
 from ..ops import camera as cam_ops
 from ..ops.grid_sample import grid_sample_3d, pack_volume_corners
 from ..ops.rendering import neus_render
-from ..ops.sampling import merge_z_sorted, sample_coarse, sample_importance
+from ..ops.sampling import sample_coarse, sample_importance
 from .cascade import CascadeMatcher
 from .ray_transformer import (
     RayTransformer,
@@ -162,9 +162,13 @@ class UFORecon(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def _sample_to_rgb(self, scene: SceneInputs, enc: EncoderOutputs,
-                       points: jnp.ndarray, z_val: jnp.ndarray):
-        """sample2rgb (model.py:308-348): queries + ray transformer + NeuS."""
+    def _point_features(self, scene: SceneInputs, enc: EncoderOutputs,
+                        points: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Per-point half of sample2rgb (model.py:308-332): similarity +
+        volume queries and the view-token transformer / radiance blend.
+
+        Strictly independent across sample points, so the fine pass runs it
+        only on the NEW importance samples and reuses the coarse outputs."""
         c = self.cfg
         nv = scene.source_imgs.shape[0]
 
@@ -193,7 +197,7 @@ class UFORecon(nn.Module):
 
         mvs_depths = enc.mvs_depths if (c.mvs_depth_guide > 0 and c.depth_pos_encoding) else None
 
-        radiance, srdf = self.ray_transformer(
+        return self.ray_transformer.per_point(
             points=points,
             source_imgs=scene.source_imgs,
             source_feats=enc.source_feats,
@@ -206,10 +210,23 @@ class UFORecon(nn.Module):
             sim_feat=sim_feat,
             mvs_depths=mvs_depths,
         )
+
+    def _render_sequence(self, z_val: jnp.ndarray,
+                         pp: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Ray half of sample2rgb (model.py:332-348): ray transformer ->
+        SRDF -> NeuS compositing over a z-sorted sample sequence."""
+        srdf = self.ray_transformer.along_ray(pp["token"])
         inv_s = jnp.exp(self.variance * 10.0)
-        out = neus_render(z_val, radiance, srdf, inv_s)
+        out = neus_render(z_val, pp["radiance"], srdf, inv_s)
         out["srdf"] = srdf
         return out
+
+    def _sample_to_rgb(self, scene: SceneInputs, enc: EncoderOutputs,
+                       points: jnp.ndarray, z_val: jnp.ndarray):
+        """sample2rgb (model.py:308-348): queries + ray transformer + NeuS."""
+        return self._render_sequence(
+            z_val, self._point_features(scene, enc, points)
+        )
 
     # ------------------------------------------------------------------
     def render_chunk(
@@ -238,17 +255,32 @@ class UFORecon(nn.Module):
             k_coarse, ray_o, ray_d, n_coarse, near=near, far=far,
             sample_radius=c.sample_radius,
         )
-        out_c = self._sample_to_rgb(scene, enc, points, z_val)
+        pp_c = self._point_features(scene, enc, points)
+        out_c = self._render_sequence(z_val, pp_c)
         if coarse_only:
             return {"coarse": out_c, "fine": out_c}
 
-        _, z2 = sample_importance(
+        points_f, z2 = sample_importance(
             k_fine, ray_o, ray_d,
             jax.lax.stop_gradient(out_c["weight"]),
             jax.lax.stop_gradient(z_val), n_fine,
         )
-        points_all, z_all = merge_z_sorted(ray_o, ray_d, z_val, z2)
-        out_f = self._sample_to_rgb(scene, enc, points_all, z_all)
+        # The reference re-evaluates ALL merged samples (model.py:466-473);
+        # the per-point stage is sample-independent, so only the NEW fine
+        # points are computed and the coarse outputs are re-used — the merge
+        # becomes an output permutation by sorted z (identical math).
+        pp_f = self._point_features(scene, enc, points_f)
+        z_cat = jnp.concatenate([z_val, z2], axis=1)
+        order = jnp.argsort(z_cat, axis=1)
+        z_all = jnp.take_along_axis(z_cat, order, axis=1)
+        pp_all = {
+            k: jnp.take_along_axis(
+                jnp.concatenate([pp_c[k], pp_f[k]], axis=1),
+                order[..., None], axis=1,
+            )
+            for k in pp_c
+        }
+        out_f = self._render_sequence(z_all, pp_all)
         return {"coarse": out_c, "fine": out_f}
 
     # convenience entry used by init / parameter creation

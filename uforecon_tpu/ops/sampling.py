@@ -63,7 +63,13 @@ def sample_importance(
     u = jax.random.uniform(key, (rn, point_num), z_val.dtype)
     u = jnp.clip(u, cdf[:, 0:1], cdf[:, -1:])
 
-    idx = jax.vmap(jnp.searchsorted)(cdf, u)  # right index
+    # vectorized searchsorted(side='left'): #{s : cdf[s] < u}. The generic
+    # jnp.searchsorted lowers to a sequential while-loop binary search on
+    # TPU (~2s/image); with SN=64 bins the dense comparison count is a
+    # single (RN, PN, SN) VPU reduction.
+    idx = jnp.sum(
+        (cdf[:, None, :] < u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     idx = jnp.clip(idx, 1, sn - 1)
 
     left_cdf = jnp.take_along_axis(cdf, idx - 1, axis=1)
