@@ -75,8 +75,7 @@ def query_similarity(
     source_poses: jnp.ndarray,  # (NV, 4, 4)
     aug0: jnp.ndarray,          # (P, h, w, C) pairwise match features, view i
     aug1: jnp.ndarray,          # (P, h, w, C) pairwise match features, view j
-    pairs_i: jnp.ndarray,       # (P,) first view index of each pair
-    pairs_j: jnp.ndarray,       # (P,) second view index
+    n_views: int,
     n_groups: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Explicit pairwise feature similarity (reference model.py:218-305).
@@ -85,6 +84,12 @@ def query_similarity(
     projection into view i and view-j's at the projection into view j
     (align_corners=True, border padding — gmflow_utils.py:83), split channels
     into ``n_groups`` groups, cosine similarity per group, mean over pairs.
+
+    TPU layout: every pair-feature map of a given view is sampled at that
+    view's SAME projection, so the (NV-1) maps per view are concatenated
+    channel-wise and sampled with ONE corner-packed gather per view-point
+    instead of one per (pair, side) — gather cost on TPU is per row, so this
+    halves the hot-path similarity gathers. Values are bit-identical.
 
     Returns:
       feat_info: (..., n_groups) mean per-group cosine similarity.
@@ -95,24 +100,36 @@ def query_similarity(
 
     xy, _, valid = project_points_ndc(source_poses, points)
 
-    # corner-packed rows: 4x32 = 128 values = exactly one lane tile
-    sampled_i = grid_sample_2d_packed(pack_image_corners(aug0), xy[pairs_i],
-                                      align_corners=True,
-                                      padding_mode="border")  # (P, ..., C)
-    sampled_j = grid_sample_2d_packed(pack_image_corners(aug1), xy[pairs_j],
-                                      align_corners=True,
-                                      padding_mode="border")
+    pairs = [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
+    c = aug0.shape[-1]
+    slots = [[] for _ in range(n_views)]
+    maps = [[] for _ in range(n_views)]
+    for p, (i, j) in enumerate(pairs):
+        slots[i].append((0, p))
+        maps[i].append(aug0[p])
+        slots[j].append((1, p))
+        maps[j].append(aug1[p])
+    merged = jnp.stack([jnp.concatenate(m, axis=-1) for m in maps])
+    # one packed row of 4 corners x (NV-1)C values per view-point
+    sampled = grid_sample_2d_packed(pack_image_corners(merged), xy,
+                                    align_corners=True,
+                                    padding_mode="border")  # (NV, ..., (NV-1)C)
 
-    p, *lead, c = sampled_i.shape
-    gi = sampled_i.reshape(p, *lead, n_groups, c // n_groups)
-    gj = sampled_j.reshape(p, *lead, n_groups, c // n_groups)
-    hp = jax.lax.Precision.HIGHEST
-    dot = jnp.sum(gi * gj, axis=-1)
-    ni = jnp.sqrt(jnp.sum(gi * gi, axis=-1))
-    nj = jnp.sqrt(jnp.sum(gj * gj, axis=-1))
-    # torch CosineSimilarity clamps the denominator at eps=1e-8
-    cos = dot / jnp.maximum(ni * nj, 1e-8)
-    return jnp.mean(cos, axis=0), xy, valid
+    def view_slot(v, key):
+        k = slots[v].index(key)
+        return sampled[v, ..., k * c:(k + 1) * c]
+
+    lead = sampled.shape[1:-1]
+    cos_all = []
+    for p, (i, j) in enumerate(pairs):
+        gi = view_slot(i, (0, p)).reshape(*lead, n_groups, c // n_groups)
+        gj = view_slot(j, (1, p)).reshape(*lead, n_groups, c // n_groups)
+        dot = jnp.sum(gi * gj, axis=-1)
+        ni = jnp.sqrt(jnp.sum(gi * gi, axis=-1))
+        nj = jnp.sqrt(jnp.sum(gj * gj, axis=-1))
+        # torch CosineSimilarity clamps the denominator at eps=1e-8
+        cos_all.append(dot / jnp.maximum(ni * nj, 1e-8))
+    return jnp.mean(jnp.stack(cos_all), axis=0), xy, valid
 
 
 class RayTransformer(nn.Module):

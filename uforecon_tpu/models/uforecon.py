@@ -65,14 +65,6 @@ class EncoderOutputs(NamedTuple):
     mvs_depths: jnp.ndarray                      # (NV, H, W) scaled to scene
 
 
-def view_pairs(n_views: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    pairs = [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
-    return (
-        jnp.array([p[0] for p in pairs]),
-        jnp.array([p[1] for p in pairs]),
-    )
-
-
 class UFORecon(nn.Module):
     """Generalizable sparse-view SRDF reconstruction model."""
 
@@ -175,9 +167,8 @@ class UFORecon(nn.Module):
         sim_feat = None
         xy = valid = None
         if c.explicit_similarity:
-            pi, pj = view_pairs(nv)
             sim_feat, xy, valid = query_similarity(
-                points, scene.source_poses, enc.aug0, enc.aug1, pi, pj,
+                points, scene.source_poses, enc.aug0, enc.aug1, nv,
                 n_groups=c.cos_n_group,
             )
         if xy is None:
@@ -273,13 +264,15 @@ class UFORecon(nn.Module):
         z_cat = jnp.concatenate([z_val, z2], axis=1)
         order = jnp.argsort(z_cat, axis=1)
         z_all = jnp.take_along_axis(z_cat, order, axis=1)
-        pp_all = {
-            k: jnp.take_along_axis(
-                jnp.concatenate([pp_c[k], pp_f[k]], axis=1),
-                order[..., None], axis=1,
-            )
-            for k in pp_c
-        }
+        # permute token||radiance as ONE gather row (gather cost is per row)
+        d_tok = pp_c["token"].shape[-1]
+        cat = jnp.concatenate(
+            [jnp.concatenate([pp_c["token"], pp_c["radiance"]], axis=-1),
+             jnp.concatenate([pp_f["token"], pp_f["radiance"]], axis=-1)],
+            axis=1,
+        )
+        cat = jnp.take_along_axis(cat, order[..., None], axis=1)
+        pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:]}
         out_f = self._render_sequence(z_all, pp_all)
         return {"coarse": out_c, "fine": out_f}
 

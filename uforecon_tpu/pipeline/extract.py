@@ -94,12 +94,11 @@ def extract_similarity_field(cfg: Config, variables, scene,
     """
     import jax.numpy as jnp
 
-    from ..models.uforecon import UFORecon, view_pairs
+    from ..models.uforecon import UFORecon
     from ..models.ray_transformer import query_similarity
 
     model = UFORecon(cfg)
     nv = int(scene.source_imgs.shape[0])
-    pi, pj = view_pairs(nv)
 
     enc = jax.jit(
         lambda v, s: model.apply(v, s, method=model.encode)
@@ -108,7 +107,7 @@ def extract_similarity_field(cfg: Config, variables, scene,
     @jax.jit
     def field_chunk(pts):
         sim, _, valid = query_similarity(
-            pts[None], scene.source_poses, enc.aug0, enc.aug1, pi, pj,
+            pts[None], scene.source_poses, enc.aug0, enc.aug1, nv,
             n_groups=cfg.cos_n_group)
         mean_sim = jnp.mean(sim[0], axis=-1)
         all_valid = jnp.all(valid[:, 0], axis=0)
