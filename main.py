@@ -82,9 +82,11 @@ def run_extract(cfg):
 
 
 def run_train(cfg):
-    from uforecon_tpu.pipeline.fit import fit
+    from uforecon_tpu.pipeline.fit import fit, validate_only
 
-    if cfg.debug:  # smoke mode: a few steps, single worker (main.py:107)
+    if cfg.val_only:  # reference main.py:222 trainer.validate(...)
+        validate_only(cfg)
+    elif cfg.debug:  # smoke mode: a few steps, single worker (main.py:107)
         fit(cfg, max_steps=3, val_every=3, log_every=1, n_workers=1)
     else:
         fit(cfg)

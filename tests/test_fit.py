@@ -62,6 +62,20 @@ def test_psnr_ssim_sanity(rng):
 
 
 @pytest.mark.slow
+def test_val_only(tmp_path):
+    """--val_only runs a validation pass without training
+    (reference main.py:222-224)."""
+    from uforecon_tpu.pipeline.fit import validate_only
+
+    cfg = tiny_cfg(tmp_path, val_only=True, debug=True)
+    val = SyntheticDataset(n_samples=1, n_views=3, h=32, w=32, ndepth=16,
+                           start_idx=0)
+    metrics = validate_only(cfg, val_ds=val)
+    assert "val/loss_depth_fine" in metrics
+    assert np.isfinite(metrics["val/loss_depth_fine"])
+
+
+@pytest.mark.slow
 def test_fit_smoke(tmp_path):
     from uforecon_tpu.pipeline.fit import fit
 

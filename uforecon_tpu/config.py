@@ -31,6 +31,7 @@ class Config:
     train_n_view: int = 5                # ref + 4 source views
     view_selection_type: str = "best"    # best | random
     load_ckpt: str = ""
+    val_only: bool = False               # run validation only (main.py:222)
 
     # ---- ray sampling ------------------------------------------------------
     train_ray_num: int = 1024
@@ -143,6 +144,12 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     p.add_argument("--train_n_view", type=int, default=dflt.train_n_view)
     p.add_argument("--view_selection_type", type=str, default=dflt.view_selection_type)
     p.add_argument("--load_ckpt", type=str, default=dflt.load_ckpt)
+    p.add_argument("--val_only", action="store_true",
+                   help="only validate (reference main.py:45)")
+    p.add_argument("--depth_dir", type=str, default=None,
+                   help="accepted for reference CLI parity; unused (the "
+                        "reference only reads it in commented-out code, "
+                        "dtu_test_sparse.py:134)")
     p.add_argument("--train_ray_num", type=int, default=dflt.train_ray_num)
     p.add_argument("--coarse_sample", type=int, default=dflt.coarse_sample)
     p.add_argument("--fine_sample", type=int, default=dflt.fine_sample)
@@ -195,6 +202,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
         batch_size=a.batch_size, max_epochs=a.max_epochs, uforecon_lr=a.uforecon_lr,
         weight_rgb=a.weight_rgb, weight_depth=a.weight_depth, train_n_view=a.train_n_view,
         view_selection_type=a.view_selection_type, load_ckpt=a.load_ckpt,
+        val_only=a.val_only,
         train_ray_num=a.train_ray_num, coarse_sample=a.coarse_sample,
         fine_sample=a.fine_sample, test_sample_coarse=a.test_sample_coarse,
         test_sample_fine=a.test_sample_fine, patch_size=a.patch_size, sW=a.sW, sH=a.sH,

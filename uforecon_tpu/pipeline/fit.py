@@ -226,6 +226,30 @@ def pretrain_mvs(cfg: Config, train_ds=None, variables=None,
     return state
 
 
+def validate_only(cfg: Config, val_ds=None, variables=None) -> dict:
+    """Run one validation pass without training (reference main.py:222-224
+    ``--val_only`` -> trainer.validate). Returns the metric dict."""
+    if val_ds is None:
+        _, val_ds = make_train_val_datasets(cfg)
+    if variables is None:
+        model, variables = init_model(cfg, val_ds[0], cfg.seed)
+    else:
+        model = UFORecon(cfg)
+    state = create_train_state(cfg, variables)
+    if cfg.load_ckpt:
+        from .checkpoint import load_eval_variables
+        v = load_eval_variables(cfg.load_ckpt)
+        state = state._replace(params=v["params"],
+                               batch_stats=v.get("batch_stats",
+                                                 state.batch_stats))
+        Log.info(f"restored params from {cfg.load_ckpt}")
+    val_step = make_val_step(cfg, model)
+    metrics = run_validation(cfg, model, state, val_ds, val_step,
+                             max_samples=1 if cfg.debug else None)
+    Log.ok("val: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+    return metrics
+
+
 def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
         max_steps: Optional[int] = None, val_every: Optional[int] = None,
         log_every: int = 20, n_workers: int = 8) -> TrainState:
