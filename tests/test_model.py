@@ -101,3 +101,41 @@ def test_mvs_pretrain_step(rng):
     after = jax.tree_util.tree_leaves(new_state.params["matcher"])
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_query_similarity_merged_matches_naive(rng):
+    """The one-gather-per-view merged similarity must equal per-pair
+    sampling (reference model.py:218-305 semantics)."""
+    from uforecon_tpu.models.ray_transformer import query_similarity
+    from uforecon_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                              pack_image_corners)
+
+    nv, h, w, c = 4, 12, 16, 32
+    p = nv * (nv - 1) // 2
+    aug0 = jnp.asarray(rng.standard_normal((p, h, w, c)).astype(np.float32))
+    aug1 = jnp.asarray(rng.standard_normal((p, h, w, c)).astype(np.float32))
+    # random projective poses with positive-depth points in front
+    scene, _ = make_synthetic_scene(n_views=nv, h=h, w=w)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (6, 5, 3)).astype(np.float32))
+
+    sim, xy, valid = query_similarity(pts, scene.source_poses, aug0, aug1, nv)
+
+    # naive reference: per-pair gathers + grouped cosine, mean over pairs
+    pairs = [(a, b) for a in range(nv - 1) for b in range(a + 1, nv)]
+    cos_all = []
+    for k, (i, j) in enumerate(pairs):
+        si = grid_sample_2d_packed(pack_image_corners(aug0[k:k + 1]),
+                                   xy[i:i + 1], align_corners=True,
+                                   padding_mode="border")[0]
+        sj = grid_sample_2d_packed(pack_image_corners(aug1[k:k + 1]),
+                                   xy[j:j + 1], align_corners=True,
+                                   padding_mode="border")[0]
+        gi = si.reshape(*si.shape[:-1], 8, c // 8)
+        gj = sj.reshape(*sj.shape[:-1], 8, c // 8)
+        dot = jnp.sum(gi * gj, -1)
+        ni = jnp.sqrt(jnp.sum(gi * gi, -1))
+        nj = jnp.sqrt(jnp.sum(gj * gj, -1))
+        cos_all.append(dot / jnp.maximum(ni * nj, 1e-8))
+    ref = jnp.mean(jnp.stack(cos_all), axis=0)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -86,6 +86,7 @@ class Config:
 
     # ---- TPU execution ------------------------------------------------
     compute_dtype: str = "float32"       # float32 | bfloat16 for network matmuls
+    fused_point_head: str = "auto"       # auto | always | never (Pallas per-point head)
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 

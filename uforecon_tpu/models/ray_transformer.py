@@ -157,6 +157,10 @@ class RayTransformer(nn.Module):
     pe_d_hid: int = 8
     n_heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    # per-point stage backend: 'auto' = fused Pallas kernel on TPU for the
+    # full-feature f32 config, pure flax otherwise; 'always'/'never' force
+    # (tests run 'always' through the interpreter)
+    fused: str = "auto"
 
     @property
     def d_view(self) -> int:
@@ -228,6 +232,20 @@ class RayTransformer(nn.Module):
         img_rgb = rgbd[..., :3]
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 
+        pe_nv = None
+        if mvs_depths is not None:
+            # depth distance PE (ray_transformer.py:229-247)
+            d_sampled = rgbd[..., 3]
+            cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
+                             precision=hp) + src_w2cs[:, None, None, :3, 3]
+            depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)
+            pe_nv = nerf_posenc(depth_dist[..., None], num_freqs=4)  # (NV,RN,SN,8)
+
+        if self._fused_ok(fea_volume_feat, sim_feat, pe_nv):
+            return self._per_point_fused(
+                img_feat, fea_volume_feat, sim_feat, pe_nv, dir_relative,
+                img_rgb, mask, rn, sn, nv)
+
         # assemble view-token features: (RN*SN, NV, C)
         x = img_feat.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
         if fea_volume_feat is not None:
@@ -237,14 +255,8 @@ class RayTransformer(nn.Module):
             s = self.pre_sim_mlp(sim_feat)
             s = s.reshape(rn * sn, 1, -1)
             x = jnp.concatenate([x, jnp.broadcast_to(s, (rn * sn, nv, s.shape[-1]))], axis=-1)
-        if mvs_depths is not None:
-            # depth distance PE (ray_transformer.py:229-247)
-            d_sampled = rgbd[..., 3]
-            cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
-                             precision=hp) + src_w2cs[:, None, None, :3, 3]
-            depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)
-            pe = nerf_posenc(depth_dist[..., None], num_freqs=4)  # (NV, RN, SN, 8)
-            pe = pe.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
+        if pe_nv is not None:
+            pe = pe_nv.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
             x = jnp.concatenate([x, pe], axis=-1)
         if self.use_dir_srdf:
             dpe = nerf_posenc(dir_relative, num_freqs=4, include_input=True)
@@ -271,6 +283,65 @@ class RayTransformer(nn.Module):
         radiance = jnp.sum(img_rgb.transpose(1, 2, 0, 3) * w, axis=2)  # (RN, SN, 3)
 
         return {"token": token_out.reshape(rn, sn, -1), "radiance": radiance}
+
+    def _fused_ok(self, fea_volume_feat, sim_feat, pe_nv) -> bool:
+        """Route to the fused Pallas point head? Static decision per trace."""
+        if self.fused == "never" or self.is_initializing():
+            return False
+        full = (fea_volume_feat is not None and sim_feat is not None
+                and pe_nv is not None and not self.use_dir_srdf
+                and self.dtype == jnp.float32)
+        if self.fused == "always":
+            return full
+        return full and jax.default_backend() == "tpu"
+
+    def _per_point_fused(self, img_feat, fea_volume_feat, sim_feat, pe_nv,
+                         dir_relative, img_rgb, mask, rn, sn, nv):
+        """Dispatch the per-point stage to the fused Pallas kernel
+        (ops/fused_point_head.py); identical math to the flax path."""
+        from ..ops.fused_point_head import (PointHeadInputs, PointHeadParams,
+                                            point_head)
+
+        n = rn * sn
+
+        # feature-major (C, P) inputs: dense-lane host transposes beat
+        # lane-padded point-major loads + in-VMEM relayouts (measured)
+        def tr(a):  # (NV, RN, SN, C) -> (NV, C, P)
+            return a.reshape(nv, n, a.shape[-1]).transpose(0, 2, 1)
+
+        inp = PointHeadInputs(
+            img_feat=tr(img_feat),
+            vol_feat=fea_volume_feat.reshape(n, -1).T,
+            sim_feat=sim_feat.reshape(n, -1).T,
+            pe_depth=tr(pe_nv),
+            dir_rel=tr(dir_relative),
+            rgb=tr(img_rgb),
+            mask=mask.reshape(nv, n),
+        )
+        lv = self.density_view_transformer.variables["params"]["layer_0"]
+        sp = self.pre_sim_mlp.variables["params"]
+        rp = self.linear_radianceweight_1_softmax.variables["params"]
+        params = PointHeadParams(
+            view_token=self.view_token.reshape(-1),
+            wq=lv["q_proj"]["kernel"], wk=lv["k_proj"]["kernel"],
+            wv=lv["v_proj"]["kernel"], wmerge=lv["merge"]["kernel"],
+            norm1_scale=lv["norm1"]["scale"], norm1_bias=lv["norm1"]["bias"],
+            w1=lv["mlp1"]["kernel"], w2=lv["mlp2"]["kernel"],
+            norm2_scale=lv["norm2"]["scale"], norm2_bias=lv["norm2"]["bias"],
+            sim_w=(sp["Dense_0"]["kernel"], sp["Dense_1"]["kernel"],
+                   sp["Dense_2"]["kernel"]),
+            sim_b=(sp["Dense_0"]["bias"], sp["Dense_1"]["bias"],
+                   sp["Dense_2"]["bias"]),
+            rad_w=(rp["Dense_0"]["kernel"], rp["Dense_1"]["kernel"],
+                   rp["Dense_2"]["kernel"]),
+            rad_b=(rp["Dense_0"]["bias"], rp["Dense_1"]["bias"],
+                   rp["Dense_2"]["bias"]),
+        )
+        token, rad = point_head(inp, params, self.n_heads)
+        return {
+            "token": token.T.reshape(rn, sn, -1),
+            "radiance": rad.T.reshape(rn, sn, 3),
+        }
 
     def along_ray(self, token: jnp.ndarray) -> jnp.ndarray:
         """Ray transformer over a z-sorted sample sequence -> SRDF.

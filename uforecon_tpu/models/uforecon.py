@@ -92,6 +92,7 @@ class UFORecon(nn.Module):
             depth_dim=c.depth_dim,
             use_dir_srdf=c.use_dir_srdf,
             dtype=dtype,
+            fused=c.fused_point_head,
         )
         # NeuS single deviation scalar (single_variance_network.py:5-11)
         self.variance = self.param(

@@ -167,6 +167,10 @@ def _bwd_tb(dims, res, gt):
                   spec(L * H * M)],
         out_specs=[spec(L * H * D), spec(S * H * D), spec(S * H * M)],
         interpret=_use_interpret(),
+        # the recompute-heavy backward overflows the default 16MB scoped
+        # vmem at train_n_view=5 (L=6: 17.35M); raise the ceiling
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qt, kt, vt, gt)
     return dq[:, :b], dk[:, :b], dv[:, :b]
 
