@@ -34,7 +34,6 @@ def main():
     from uforecon_tpu.models.uforecon import UFORecon
     from uforecon_tpu.pipeline.renderer import SceneRenderer
     from uforecon_tpu.parallel.sharding import make_mesh
-    from __graft_entry__ import _tiny_scene
 
     cfg = Config(
         extract_geometry=True,
@@ -85,14 +84,7 @@ def main():
 
 
 def _build_scene(h, w, n_views):
-    import jax.numpy as jnp
-
-    from uforecon_tpu.models.uforecon import SceneInputs
-    from uforecon_tpu.ops import camera
-
-    from __graft_entry__ import _tiny_scene  # reuse geometry helpers
-
-    # _tiny_scene is parameterized; call it with full-size shapes
+    # reuse the driver-entry scene builder at full-size shapes
     from __graft_entry__ import _tiny_scene as make
 
     return make(n_views=n_views, h=h, w=w, ndepth=192)
