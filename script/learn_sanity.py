@@ -58,7 +58,7 @@ def _sphere_trace(ray_o, ray_d):
     return np.where(hit, t, 0.0).astype(np.float32), hit
 
 
-def _shade(points, hit, rng_tint):
+def _shade(points, hit):
     n = points / SPHERE_R
     u = np.arctan2(n[..., 0], n[..., 2])
     v = np.arccos(np.clip(n[..., 1], -1, 1))
@@ -96,7 +96,7 @@ def build_scene_views(n_total, h, w, seed=0):
         ray_d = np.asarray(ray_d.T, np.float32).reshape(h, w, 3)
         t, hit = _sphere_trace(ray_o, ray_d)
         pts = np.asarray(ray_o)[None, None] + t[..., None] * ray_d
-        img = _shade(pts, hit, rng)
+        img = _shade(pts, hit)
         # camera-frame z-depth for MVS supervision
         pts_cam = pts @ E[:3, :3].T + E[:3, 3]
         zdepth = np.where(hit, pts_cam[..., 2], 0.0).astype(np.float32)
@@ -170,18 +170,14 @@ class SphereDataset:
         return make_sample(self.views, i, srcs, self.ndepth, self.h, self.w)
 
 
-def render_depth_error(cfg, variables, sample, seed=0):
+def render_depth_error(renderer, sample, seed=0):
     """Render the sample's reference view; masked L1 vs analytic depth,
     normalized by the depth span."""
     import jax
 
     from uforecon_tpu.data.convert import scene_inputs_from_sample
-    from uforecon_tpu.pipeline.renderer import SceneRenderer
-    from uforecon_tpu.parallel.sharding import make_mesh
 
     scene, extras = scene_inputs_from_sample(sample)
-    renderer = SceneRenderer(cfg.replace(extract_geometry=True), variables,
-                             mesh=make_mesh(1), chunk=1024)
     enc = renderer.encode(scene)
     n = extras["ray_d"].shape[0]
     near = np.full(n, NEAR, np.float32)
@@ -205,6 +201,12 @@ def main():
     ap.add_argument("--render_steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--logdir", type=str, default="/tmp/learn_sanity")
+    ap.add_argument("--mesh_eval", action="store_true",
+                    help="also TSDF-fuse all views and score the mesh "
+                         "against the analytic sphere")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip training; restore the latest checkpoint "
+                         "from logdir and only evaluate")
     args = ap.parse_args()
 
     from uforecon_tpu.config import Config
@@ -230,29 +232,120 @@ def main():
     views = build_scene_views(args.views, args.h, args.w)
     ds = SphereDataset(views, args.n_src, args.ndepth, args.h, args.w)
 
+    if args.resume:
+        from uforecon_tpu.pipeline.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(
+            os.path.join(args.logdir, cfg.exp_name, "ckpt"))
+        step = mgr.latest_step()
+        assert step is not None, "no checkpoint to resume from"
+        restored = mgr.restore(step)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        print(f"restored step {step}", flush=True)
+        result = {"resumed_step": int(step)}
+        if args.mesh_eval:
+            result.update(mesh_eval(make_renderer(cfg, variables), ds))
+        print(json.dumps(result))
+        return 0 if result.get("mesh_pass", True) else 1
+
     print("stage 1: MVS pretraining...", flush=True)
     state = pretrain_mvs(cfg, train_ds=ds, max_steps=args.mvs_steps,
                          log_every=20, n_workers=2)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    err0 = render_depth_error(cfg, variables, ds[0])
+    renderer = make_renderer(cfg, variables)
+    err0 = render_depth_error(renderer, ds[0])
     print(f"depth L1 (pre render-training): {err0:.4f} of depth span", flush=True)
 
     print("stage 2: render-head training...", flush=True)
     state = fit(cfg, train_ds=ds, val_ds=[ds[0]], variables=variables,
                 max_steps=args.render_steps, val_every=args.render_steps,
                 log_every=25, n_workers=2)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-    err1 = render_depth_error(cfg, variables, ds[0])
+    # the compiled render program takes variables as an argument, so
+    # swapping them on the same renderer avoids a full re-jit
+    renderer.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
+    err1 = render_depth_error(renderer, ds[0])
     result = {
         "depth_l1_before": round(err0, 4),
         "depth_l1_after": round(err1, 4),
         "improvement": round(err0 / max(err1, 1e-9), 2),
         "pass": bool(err1 < err0 * 0.6),
     }
+    if args.mesh_eval:
+        result.update(mesh_eval(renderer, ds))
     print(json.dumps(result))
-    return 0 if result["pass"] else 1
+    return 0 if result["pass"] and result.get("mesh_pass", True) else 1
+
+
+def make_renderer(cfg, variables):
+    from uforecon_tpu.parallel.sharding import make_mesh
+    from uforecon_tpu.pipeline.renderer import SceneRenderer
+
+    return SceneRenderer(cfg.replace(extract_geometry=True), variables,
+                         mesh=make_mesh(1), chunk=1024)
+
+
+def mesh_eval(renderer, ds):
+    """Fuse all trained-view depths into a TSDF mesh; score vertex distance
+    to the analytic sphere (both directions, like the DTU acc/comp split)."""
+    import jax
+
+    from uforecon_tpu.data.convert import scene_inputs_from_sample
+    from uforecon_tpu.fusion.tsdf import TSDFVolume
+
+    m = 1.12 * SPHERE_R
+    vol = TSDFVolume(np.array([[-m, m], [-m, m], [-m, m]]),
+                     voxel_size=2 * m / 128, margin=5)
+    for i in range(len(ds)):
+        sample = ds[i]
+        scene, extras = scene_inputs_from_sample(sample)
+        enc = renderer.encode(scene)
+        n = extras["ray_d"].shape[0]
+        near = np.full(n, NEAR, np.float32)
+        far = np.full(n, FAR, np.float32)
+        out = renderer.render_rays(scene, enc, extras["ray_d"], near, far,
+                                   jax.random.PRNGKey(i))
+        h, w = sample["ref_img"].shape[:2]
+        # ray parameter t -> camera z-depth: z = t * (R_cam_z . ray_d_world)
+        dz = extras["ray_d"] @ sample["w2cs"][0][2, :3]
+        zdepth = (out["depth"] * dz).reshape(h, w)
+        # mask rays the model marked empty (background depth is untrained)
+        zdepth = np.where(out["opacity"].reshape(h, w) > 0.5, zdepth, 0.0)
+        # foreground-mask the depth like the reference's masked path
+        # (general_fit.py use_mask / clean_mesh object masks): silhouette-
+        # adjacent background rays have confident but untrained depth
+        zdepth = np.where(sample["depths_h"][0] > 0, zdepth, 0.0)
+        c2w = np.linalg.inv(sample["w2cs"][0]).astype(np.float32)
+        vol.integrate(zdepth.astype(np.float32),
+                      sample["intrinsics"][0].astype(np.float32), c2w)
+    verts, faces, _ = vol.get_mesh()
+    if len(verts) == 0:
+        return {"mesh_verts": 0, "mesh_pass": False}
+    # keep the dominant connected component (clean_mesh.py:249-267 analog):
+    # background rays with confident-but-untrained depth leave junk islands
+    from uforecon_tpu.postproc.clean_mesh import (_compact,
+                                                  face_connected_components)
+
+    comp = face_connected_components(np.asarray(faces))
+    counts = np.bincount(comp)
+    verts, faces = _compact(verts, np.asarray(faces)[comp == counts.argmax()])
+    d_acc = np.abs(np.linalg.norm(verts, axis=1) - SPHERE_R)
+    # completeness: sample the sphere, nearest mesh vertex
+    rng = np.random.default_rng(0)
+    dirs = rng.standard_normal((2000, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    from scipy.spatial import cKDTree
+    d_comp, _ = cKDTree(verts).query(dirs * SPHERE_R)
+    return {
+        "mesh_verts": int(len(verts)),
+        "mesh_acc_mean": round(float(d_acc.mean()), 4),
+        "mesh_comp_mean": round(float(d_comp.mean()), 4),
+        "mesh_pass": bool(d_acc.mean() < 0.1 * SPHERE_R
+                          and d_comp.mean() < 0.1 * SPHERE_R),
+    }
 
 
 if __name__ == "__main__":

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uforecon_tpu.ops.rendering import neus_render
-from uforecon_tpu.ops.sampling import merge_z_sorted, sample_coarse, sample_importance
+from uforecon_tpu.ops.sampling import sample_coarse, sample_importance
 
 
 def test_sample_coarse_bounds_and_stratification(rng):
@@ -42,16 +42,6 @@ def test_sample_importance_concentrates_on_peak(rng):
     peak = np.asarray(z)[0, 16]
     lo = np.asarray(z)[0, 15]
     assert np.all(z_f >= lo - 1e-4) and np.all(z_f <= peak + 1e-4)
-
-
-def test_merge_z_sorted():
-    ray_o = jnp.zeros((2, 3))
-    ray_d = jnp.asarray([[0, 0, 1.0], [0, 0, 1.0]], jnp.float32)
-    za = jnp.asarray([[1.0, 3.0], [2.0, 4.0]])
-    zb = jnp.asarray([[2.0, 0.5], [3.0, 1.0]])
-    pts, z = merge_z_sorted(ray_o, ray_d, za, zb)
-    np.testing.assert_allclose(np.asarray(z), [[0.5, 1, 2, 3], [1, 2, 3, 4]])
-    np.testing.assert_allclose(np.asarray(pts)[..., 2], np.asarray(z), atol=1e-6)
 
 
 def test_neus_render_matches_torch_reference(rng):

@@ -213,13 +213,6 @@ class UFORecon(nn.Module):
         out["srdf"] = srdf
         return out
 
-    def _sample_to_rgb(self, scene: SceneInputs, enc: EncoderOutputs,
-                       points: jnp.ndarray, z_val: jnp.ndarray):
-        """sample2rgb (model.py:308-348): queries + ray transformer + NeuS."""
-        return self._render_sequence(
-            z_val, self._point_features(scene, enc, points)
-        )
-
     # ------------------------------------------------------------------
     def render_chunk(
         self,

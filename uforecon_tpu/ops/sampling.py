@@ -83,14 +83,6 @@ def sample_importance(
     return points, z
 
 
-def merge_z_sorted(
-    ray_o: jnp.ndarray, ray_d: jnp.ndarray,
-    z_a: jnp.ndarray, z_b: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate two z-sample sets and sort (reference model.py:466-470).
-
-    Returns (points (RN, SNa+SNb, 3), z (RN, SNa+SNb)).
-    """
-    z = jnp.sort(jnp.concatenate([z_a, z_b], axis=1), axis=1)
-    points = ray_o[:, None] + z[..., None] * ray_d[:, None]
-    return points, z
+# NOTE: the reference's coarse+fine z merge (model.py:466-470) lives inline
+# in UFORecon.render_chunk as an argsort + output permutation so the fine
+# pass can reuse the coarse per-point features.

@@ -226,6 +226,20 @@ def pretrain_mvs(cfg: Config, train_ds=None, variables=None,
     return state
 
 
+def _maybe_restore(state: TrainState, load_ckpt: str) -> TrainState:
+    """Restore params/batch_stats from --load_ckpt into a TrainState."""
+    if not load_ckpt:
+        return state
+    from .checkpoint import load_eval_variables
+
+    v = load_eval_variables(load_ckpt)
+    state = state._replace(params=v["params"],
+                           batch_stats=v.get("batch_stats",
+                                             state.batch_stats))
+    Log.info(f"restored params from {load_ckpt}")
+    return state
+
+
 def validate_only(cfg: Config, val_ds=None, variables=None) -> dict:
     """Run one validation pass without training (reference main.py:222-224
     ``--val_only`` -> trainer.validate). Returns the metric dict."""
@@ -235,14 +249,7 @@ def validate_only(cfg: Config, val_ds=None, variables=None) -> dict:
         model, variables = init_model(cfg, val_ds[0], cfg.seed)
     else:
         model = UFORecon(cfg)
-    state = create_train_state(cfg, variables)
-    if cfg.load_ckpt:
-        from .checkpoint import load_eval_variables
-        v = load_eval_variables(cfg.load_ckpt)
-        state = state._replace(params=v["params"],
-                               batch_stats=v.get("batch_stats",
-                                                 state.batch_stats))
-        Log.info(f"restored params from {cfg.load_ckpt}")
+    state = _maybe_restore(create_train_state(cfg, variables), cfg.load_ckpt)
     val_step = make_val_step(cfg, model)
     metrics = run_validation(cfg, model, state, val_ds, val_step,
                              max_samples=1 if cfg.debug else None)
@@ -280,13 +287,7 @@ def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
     writer = MetricWriter(logdir)
     ckpt = CheckpointManager(os.path.join(logdir, "ckpt"))
 
-    if cfg.load_ckpt:
-        from .checkpoint import load_eval_variables
-        v = load_eval_variables(cfg.load_ckpt)
-        state = state._replace(params=v["params"],
-                               batch_stats=v.get("batch_stats",
-                                                 state.batch_stats))
-        Log.info(f"restored params from {cfg.load_ckpt}")
+    state = _maybe_restore(state, cfg.load_ckpt)
 
     key = jax.random.PRNGKey(cfg.seed)
     step = 0
