@@ -257,7 +257,8 @@ class UFORecon(nn.Module):
         pp_f = self._point_features(scene, enc, points_f)
         z_cat = jnp.concatenate([z_val, z2], axis=1)
         order = jnp.argsort(z_cat, axis=1)
-        z_all = jnp.take_along_axis(z_cat, order, axis=1)
+        z_all = jnp.take_along_axis(z_cat, order, axis=1,
+                                    mode="promise_in_bounds")
         # permute token||radiance as ONE gather row (gather cost is per row)
         d_tok = pp_c["token"].shape[-1]
         cat = jnp.concatenate(
@@ -265,7 +266,8 @@ class UFORecon(nn.Module):
              jnp.concatenate([pp_f["token"], pp_f["radiance"]], axis=-1)],
             axis=1,
         )
-        cat = jnp.take_along_axis(cat, order[..., None], axis=1)
+        cat = jnp.take_along_axis(cat, order[..., None], axis=1,
+                                  mode="promise_in_bounds")
         pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:]}
         out_f = self._render_sequence(z_all, pp_all)
         return {"coarse": out_c, "fine": out_f}

@@ -82,7 +82,10 @@ def grid_sample_2d(
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
+        # indices are clamped above; promise_in_bounds skips the fill
+        # select pass XLA otherwise appends to every gather
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                                mode="promise_in_bounds")  # (N, P, C)
         return v * (w * valid.astype(image.dtype))[..., None]
 
     out = (
@@ -135,7 +138,8 @@ def grid_sample_2d_packed(
 
     idx = y0 * W + x0
     flat = packed.reshape(N, H * W, C4)
-    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, 4C)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                               mode="promise_in_bounds")  # (N, P, 4C)
 
     def w01(f):
         return jnp.clip(1.0 - jnp.abs(f), 0.0, 1.0), jnp.clip(f, 0.0, 1.0)
@@ -215,7 +219,8 @@ def grid_sample_3d_packed(
 
     idx = (z0 * H + y0) * W + x0
     flat = packed.reshape(N, D * H * W, C8)
-    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, 8C)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                               mode="promise_in_bounds")  # (N, P, 8C)
 
     def w01(f):
         return jnp.clip(1.0 - jnp.abs(f), 0.0, 1.0), jnp.clip(f, 0.0, 1.0)
@@ -277,7 +282,8 @@ def grid_sample_3d(
             + jnp.clip(yi, 0, H - 1) * W
             + jnp.clip(xi, 0, W - 1)
         )
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                                mode="promise_in_bounds")  # (N, P, C)
         return v * (w * valid.astype(volume.dtype))[..., None]
 
     out = (

@@ -72,10 +72,13 @@ def sample_importance(
     )
     idx = jnp.clip(idx, 1, sn - 1)
 
-    left_cdf = jnp.take_along_axis(cdf, idx - 1, axis=1)
-    right_cdf = jnp.take_along_axis(cdf, idx, axis=1)
-    z_left = jnp.take_along_axis(z_val, idx - 1, axis=1)
-    z_right = jnp.take_along_axis(z_val, idx, axis=1)
+    # idx is clipped to [1, sn-1]; promise_in_bounds skips XLA's fill pass
+    ta = lambda a, i: jnp.take_along_axis(a, i, axis=1,
+                                          mode="promise_in_bounds")
+    left_cdf = ta(cdf, idx - 1)
+    right_cdf = ta(cdf, idx)
+    z_left = ta(z_val, idx - 1)
+    z_right = ta(z_val, idx)
 
     z = (u - left_cdf) / (right_cdf - left_cdf + 1e-6) * (z_right - z_left) + z_left
     z = jnp.sort(z, axis=1)
