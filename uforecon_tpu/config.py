@@ -100,6 +100,15 @@ class Config:
 
     # dims that the ray transformer sees (reference: ray_transformer.py:104-163)
     @property
+    def effective_fea_volume_dim(self) -> int:
+        """Volume-feature channels by volume type: the featuregrid path's
+        3D U-Net emits 16 (reference cnn3d.py:42-73), the correlation path
+        8 x n stages (fea_volume_dim, reference model.py:350-390)."""
+        if self.volume_reso <= 0:
+            return 0
+        return 16 if self.volume_type == "featuregrid" else self.fea_volume_dim
+
+    @property
     def sim_feat_fix(self) -> int:
         return 16 if self.explicit_similarity else 0
 
@@ -115,7 +124,7 @@ class Config:
 
     @property
     def view_trans_dim(self) -> int:
-        vol = self.fea_volume_dim if self.volume_reso > 0 else 0
+        vol = self.effective_fea_volume_dim
         return self.img_feat_dim + vol + self.sim_feat_fix + self.depth_dim + self.dir_dim
 
     @property

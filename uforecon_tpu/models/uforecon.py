@@ -87,7 +87,7 @@ class UFORecon(nn.Module):
             self.feature_volume = FeatureVolume(c.volume_reso, dtype=dtype)
         self.ray_transformer = RayTransformer(
             img_feat_dim=c.img_feat_dim,
-            fea_volume_dim=c.fea_volume_dim if c.volume_reso > 0 else 0,
+            fea_volume_dim=c.effective_fea_volume_dim,
             sim_feat_fix=c.sim_feat_fix,
             depth_dim=c.depth_dim,
             use_dir_srdf=c.use_dir_srdf,
