@@ -130,3 +130,31 @@ def test_fit_updates_only_nonmatcher_params(tmp_path):
     changed = any(not np.array_equal(np.asarray(b), np.asarray(a))
                   for b, a in zip(others_b, others_a))
     assert changed
+
+
+@pytest.mark.slow
+def test_learn_sanity_pipeline_smoke(tmp_path):
+    """script/learn_sanity.py building blocks run end to end at tiny size
+    (the full on-chip run is the real check; this guards bit-rot)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "script"))
+    import learn_sanity as ls
+
+    views = ls.build_scene_views(4, h=32, w=32)
+    ds = ls.SphereDataset(views, n_src=2, ndepth=16, h=32, w=32)
+    sample = ds[0]
+    assert sample["source_imgs"].shape == (2, 32, 32, 3)
+    assert (sample["depths_h"][0] > 0).any()
+
+    from uforecon_tpu.config import Config
+    cfg = Config(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
+                 coarse_sample=4, fine_sample=4, test_sample_coarse=4,
+                 test_sample_fine=4, train_ray_num=16, train_n_view=3,
+                 numdepth=16, logdir=str(tmp_path), exp_name="s", max_epochs=1)
+    from uforecon_tpu.pipeline.fit import fit
+    state = fit(cfg, train_ds=ds, val_ds=[ds[0]], max_steps=1, val_every=1,
+                log_every=1, n_workers=0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    r = ls.make_renderer(cfg, variables)
+    err = ls.render_depth_error(r, ds[0])
+    assert np.isfinite(err)
