@@ -39,8 +39,10 @@ class SceneRenderer:
         self._encode = jax.jit(
             lambda v, s: self.model.apply(v, s, method=self.model.encode)
         )
-        self._render_fn = None  # built lazily per padded ray-count
-        self._render_sig = None
+        # per-signature cache of compiled render programs, keyed by
+        # (padded ray count, coarse_only) — alternating full renders and
+        # val chunks must not recompile each other away
+        self._render_fns: Dict[Tuple[int, bool], object] = {}
 
     # ------------------------------------------------------------------
     def encode(self, scene: SceneInputs) -> EncoderOutputs:
@@ -114,11 +116,11 @@ class SceneRenderer:
         far_p, _ = pad_to_multiple(np.asarray(far), mult)
 
         sig = (ray_d_p.shape[0], coarse_only)
-        if self._render_fn is None or self._render_sig != sig:
-            self._render_fn = self._build_render(*sig)
-            self._render_sig = sig
+        fn = self._render_fns.get(sig)
+        if fn is None:
+            fn = self._render_fns[sig] = self._build_render(*sig)
 
-        rgb, depth, opacity = self._render_fn(
+        rgb, depth, opacity = fn(
             self.variables, scene, enc,
             jnp.asarray(ray_d_p), jnp.asarray(near_p), jnp.asarray(far_p), key,
         )
