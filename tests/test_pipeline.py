@@ -107,3 +107,49 @@ def test_extract_similarity_field(rng):
     # mesh extraction runs (may be empty for random weights)
     verts, faces = similarity_mesh(field, threshold=float(np.median(field)))
     assert verts.shape[1] == 3 if len(verts) else True
+
+
+@pytest.mark.slow
+def test_sharded_train_grads_match_single_device(rng):
+    """Ray-sharded grad step (mesh 8) == single-device grad step.
+
+    This is the fit()-level multi-chip path: params/scene replicated, ray
+    axis sharded, XLA inserts the psum over the loss reduction."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from uforecon_tpu.pipeline.trainer import (create_train_state,
+                                               make_grad_step)
+    from uforecon_tpu.parallel.sharding import replicate, shard_rays
+
+    cfg = small_cfg(coarse_sample=4, fine_sample=4)
+    scene, extras = make_synthetic_scene(n_views=2, h=32, w=32, ndepth=16)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, scene, extras["ray_d"][:8], key)
+    state = create_train_state(cfg, variables)
+    grad_step = make_grad_step(cfg, model)
+
+    n = 32
+    ray_d = jnp.asarray(extras["ray_d"][:n])
+    rgb_gt = jnp.zeros((n, 3), jnp.float32)
+    depth_gt = jnp.full((n,), float(scene.near) + 0.5)
+    k = jax.random.PRNGKey(3)
+
+    g1, logs1 = grad_step(state, scene, ray_d, rgb_gt, depth_gt, k)
+
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, state)
+    scene8 = replicate(mesh, scene)
+    g8, logs8 = grad_step(
+        state8, scene8, shard_rays(mesh, ray_d),
+        shard_rays(mesh, rgb_gt), shard_rays(mesh, depth_gt), k)
+
+    np.testing.assert_allclose(float(logs1["train/loss_all"]),
+                               float(logs8["train/loss_all"]),
+                               rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat8 = jax.tree_util.tree_leaves(g8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

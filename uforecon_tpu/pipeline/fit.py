@@ -28,8 +28,8 @@ from ..models.uforecon import UFORecon
 from ..utils.logging import Log, MetricWriter
 from ..utils.metrics import psnr
 from .checkpoint import CheckpointManager
-from .trainer import (TrainState, create_train_state, make_optimizer,
-                      make_train_step, make_val_step)
+from .trainer import (TrainState, create_train_state, make_apply_step,
+                      make_grad_step, make_optimizer, make_val_step)
 
 PKG_DATA = os.path.join(os.path.dirname(__file__), "..", "data", "dtu")
 
@@ -280,7 +280,10 @@ def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
 
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, variables)
-    train_step = make_train_step(cfg, model, tx)
+    grad_step = make_grad_step(cfg, model)
+    apply_step = make_apply_step(tx)
+    accum_add = jax.jit(
+        lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
     val_step = make_val_step(cfg, model)
 
     logdir = os.path.join(cfg.logdir, cfg.exp_name)
@@ -289,25 +292,53 @@ def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
 
     state = _maybe_restore(state, cfg.load_ckpt)
 
+    # multi-chip data/ray parallelism: params replicated, the ray axis
+    # sharded over the mesh; XLA inserts the psum gradient reductions
+    # (SURVEY.md §2.8 — an addition the reference never had).
+    from ..parallel.sharding import make_mesh, replicate, shard_rays
+
+    n_dev = int(np.prod(cfg.mesh_shape))
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    rn = -(-cfg.train_ray_num // max(n_dev, 1)) * max(n_dev, 1)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    def put_rays(ray_d, rgb_gt, depth_gt):
+        t = map(jnp.asarray, (ray_d, rgb_gt, depth_gt))
+        if mesh is None:
+            return tuple(t)
+        return tuple(shard_rays(mesh, a) for a in t)
+
     key = jax.random.PRNGKey(cfg.seed)
     step = 0
-    steps_per_epoch = len(train_ds)
+    batch = max(1, cfg.batch_size)
+    steps_per_epoch = max(1, len(train_ds) // batch)
     total_steps = max_steps or cfg.max_epochs * steps_per_epoch
 
     epoch = 0
+    grads_sum, logs_sum, n_acc = None, None, 0
     while step < total_steps:
         order = rng_np.permutation(len(train_ds))
         if max_steps:
-            order = order[: max_steps - step]
+            order = order[: (max_steps - step) * batch]
         for sample in _prefetch(train_ds, order, n_workers=n_workers):
             scene, extras = scene_inputs_from_sample(sample)
+            if mesh is not None:
+                scene = replicate(mesh, scene)
             h, w = extras["hw"]
-            ray_idx = rng_np.permutation(h * w)[: cfg.train_ray_num]
-            ray_d, rgb_gt, depth_gt = _gather_ray_batch(extras, ray_idx)
+            ray_idx = rng_np.permutation(h * w)[:rn]
+            ray_d, rgb_gt, depth_gt = put_rays(
+                *_gather_ray_batch(extras, ray_idx))
             key, sub = jax.random.split(key)
-            state, logs = train_step(
-                state, scene, jnp.asarray(ray_d), jnp.asarray(rgb_gt),
-                jnp.asarray(depth_gt), sub)
+            grads, logs = grad_step(state, scene, ray_d, rgb_gt, depth_gt, sub)
+            grads_sum = grads if grads_sum is None else accum_add(grads_sum, grads)
+            logs_sum = logs if logs_sum is None else accum_add(logs_sum, logs)
+            n_acc += 1
+            if n_acc < batch:
+                continue  # keep accumulating this optimizer step's batch
+            state = apply_step(state, grads_sum, float(n_acc))
+            logs = {k: v / n_acc for k, v in logs_sum.items()}
+            grads_sum, logs_sum, n_acc = None, None, 0
             step += 1
             if step % log_every == 0 or step == 1:
                 vals = {k: float(v) for k, v in logs.items()}

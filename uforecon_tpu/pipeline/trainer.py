@@ -128,6 +128,44 @@ def make_train_step(cfg: Config, model: UFORecon, tx: optax.GradientTransformati
     return train_step
 
 
+def make_grad_step(cfg: Config, model: UFORecon):
+    """Jitted loss+grad on ONE scene (no optimizer update) — the unit of
+    `batch_size` gradient accumulation. The reference trains batch 1-2
+    (main.py:43); Lightning's batched forward means a mean loss over scenes,
+    which equals the mean of per-scene gradients accumulated here."""
+
+    def loss_fn(params, batch_stats, scene, ray_d, rgb_gt, depth_gt, rng):
+        variables = _variables(params, batch_stats)
+        enc = model.apply(variables, scene, method=model.encode)
+        out = model.apply(
+            variables, scene, enc, ray_d, rng, method=model.render_chunk
+        )
+        return render_losses(cfg, out, rgb_gt, depth_gt, scene.near, scene.far)
+
+    @jax.jit
+    def grad_step(state: TrainState, scene: SceneInputs, ray_d, rgb_gt,
+                  depth_gt, rng):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, scene, ray_d, rgb_gt, depth_gt, rng
+        )
+        return grads, logs
+
+    return grad_step
+
+
+def make_apply_step(tx: optax.GradientTransformation):
+    """Jitted optimizer update from (summed grads, scene count)."""
+
+    @jax.jit
+    def apply_step(state: TrainState, grads_sum, n_scenes):
+        grads = jax.tree_util.tree_map(lambda g: g / n_scenes, grads_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.batch_stats)
+
+    return apply_step
+
+
 def make_val_step(cfg: Config, model: UFORecon):
     """Jitted validation losses on a ray chunk (model.py:707-726)."""
 
