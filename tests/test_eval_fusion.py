@@ -16,7 +16,8 @@ def test_sample_mesh_surface_covers_triangles(rng):
     verts = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0]], np.float32)
     faces = np.array([[0, 1, 2]])
     pts = sample_mesh_surface(verts, faces, density=0.5)
-    assert len(pts) > 200
+    # area-corrected thr ~= 0.5 for a right triangle -> ~20x20/2 grid samples
+    assert len(pts) > 150
     # all samples inside the triangle plane
     np.testing.assert_allclose(pts[:, 2], 0, atol=1e-6)
     assert pts[:, 0].min() >= -1e-6 and pts[:, 1].max() <= 10 + 1e-6
@@ -96,3 +97,139 @@ def test_filter_depth_maps_plane():
     pts, _, masks = filter_depth_maps(views, geo_mask_thres=1)
     assert len(pts) > 1000
     np.testing.assert_allclose(pts[:, 2], 4.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Golden parity vs the reference protocol (evaluation/dtu_eval.py)
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_eval_module():
+    """Import /root/reference/evaluation/dtu_eval.py with open3d stubbed
+    (its top-level import; the sampling function itself is numpy-only)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "open3d" not in sys.modules:
+        o3d = types.ModuleType("open3d")
+        o3d.geometry = types.SimpleNamespace(PointCloud=object)
+        o3d.utility = types.SimpleNamespace(Vector3dVector=lambda x: x)
+        o3d.io = types.SimpleNamespace()
+        sys.modules["open3d"] = o3d
+    spec = importlib.util.spec_from_file_location(
+        "reference_dtu_eval", "/root/reference/evaluation/dtu_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # the reference's `from numpy import *` only shadows builtin max on
+    # numpy>=1.25; its torch-1.13-era env used the builtin — restore that
+    import builtins
+    mod.max = builtins.max
+    return mod
+
+
+def test_densify_matches_reference_sample_single_tri(rng):
+    """Our vectorized densification == reference sample_single_tri run
+    per-triangle (reference dtu_eval.py:12-21 + 74-91)."""
+    ref = _load_reference_eval_module()
+
+    verts = rng.random((40, 3)) * 20
+    faces = rng.integers(0, 40, size=(60, 3))
+    density = 0.7
+
+    # reference path, transcribing the __main__ driver math (dtu_eval.py:74-91)
+    tri_vert = verts[faces]
+    v1 = tri_vert[:, 1] - tri_vert[:, 0]
+    v2 = tri_vert[:, 2] - tri_vert[:, 0]
+    l1 = np.linalg.norm(v1, axis=-1, keepdims=True)
+    l2 = np.linalg.norm(v2, axis=-1, keepdims=True)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1, keepdims=True)
+    nz = (area2 > 0)[:, 0]
+    l1, l2, area2, v1, v2, tri_vert = [
+        a[nz] for a in [l1, l2, area2, v1, v2, tri_vert]]
+    thr = density * np.sqrt(l1 * l2 / area2)
+    n1 = np.floor(l1 / thr)
+    n2 = np.floor(l2 / thr)
+    new_pts = [
+        ref.sample_single_tri(
+            (n1[i, 0], n2[i, 0], v1[i:i + 1], v2[i:i + 1], tri_vert[i:i + 1, 0]))
+        for i in range(len(n1))
+    ]
+    expect = np.concatenate([verts] + new_pts, axis=0)
+
+    ours = sample_mesh_surface(verts, faces, density)
+
+    assert ours.shape == expect.shape
+    order_a = np.lexsort(ours.T)
+    order_b = np.lexsort(expect.T)
+    np.testing.assert_allclose(ours[order_a], expect[order_b], atol=1e-9)
+
+
+def test_downsample_matches_reference_mask_loop(rng):
+    """Our KD-tree greedy downsample == the reference's sklearn mask loop
+    (dtu_eval.py:107-115), same input order."""
+    import sklearn.neighbors as skln
+
+    pts = rng.random((1500, 3)) * 6
+    thresh = 0.4
+
+    nn = skln.NearestNeighbors(
+        n_neighbors=1, radius=thresh, algorithm="kd_tree", n_jobs=-1)
+    nn.fit(pts)
+    rnn_idxs = nn.radius_neighbors(pts, radius=thresh, return_distance=False)
+    mask = np.ones(pts.shape[0], dtype=np.bool_)
+    for curr, idxs in enumerate(rnn_idxs):
+        if mask[curr]:
+            mask[idxs] = 0
+            mask[curr] = 1
+    expect = pts[mask]
+
+    ours = radius_downsample(pts, thresh)
+    np.testing.assert_allclose(ours, expect, atol=0)
+
+
+def test_eval_scan_matches_reference_protocol(rng):
+    """Full crop+score path == a transcription of reference dtu_eval.py
+    119-156 (asymmetric box, np.around cells, filtered means, s2d vs
+    data_in) on a synthetic scene with ObsMask and ground plane."""
+    gt = rng.random((4000, 3)) * 100
+    data = gt + rng.normal(0, 1.5, gt.shape)
+    data = np.concatenate([data, rng.random((500, 3)) * 400 - 150])  # outliers
+
+    BB = np.array([[10, 10, 10], [90, 90, 90]], np.float32)
+    res = 4.0
+    shape = tuple(np.ceil((BB[1] - BB[0]) / res).astype(int) + 1)
+    obsmask = (rng.random(shape) > 0.3).astype(np.uint8)
+    plane = np.array([0.0, 0.0, 1.0, -30.0])  # keep z > 30
+    patch, max_dist = 60.0, 20.0
+
+    # --- transcribed reference scoring (dtu_eval.py:119-156)
+    BBf = BB.astype(np.float32)
+    inbound = ((data >= BBf[:1] - patch) & (data < BBf[1:] + patch * 2)).sum(axis=-1) == 3
+    data_in = data[inbound]
+    data_grid = np.around((data_in - BBf[:1]) / res).astype(np.int32)
+    grid_inbound = ((data_grid >= 0) & (
+        data_grid < np.expand_dims(obsmask.shape, 0))).sum(axis=-1) == 3
+    data_grid_in = data_grid[grid_inbound]
+    in_obs = obsmask[data_grid_in[:, 0], data_grid_in[:, 1],
+                     data_grid_in[:, 2]].astype(np.bool_)
+    data_in_obs = data_in[grid_inbound][in_obs]
+
+    import sklearn.neighbors as skln
+    nn = skln.NearestNeighbors(n_neighbors=1, radius=0.2,
+                               algorithm="kd_tree", n_jobs=-1)
+    nn.fit(gt)
+    dist_d2s, _ = nn.kneighbors(data_in_obs, n_neighbors=1, return_distance=True)
+    mean_d2s = dist_d2s[dist_d2s < max_dist].mean()
+    stl_hom = np.concatenate([gt, np.ones_like(gt[:, :1])], -1)
+    above = (plane.reshape((1, 4)) * stl_hom).sum(-1) > 0
+    nn.fit(data_in)
+    dist_s2d, _ = nn.kneighbors(gt[above], n_neighbors=1, return_distance=True)
+    mean_s2d = dist_s2d[dist_s2d < max_dist].mean()
+
+    ours = eval_scan(data, gt, obs_mask=(BB, obsmask, res),
+                     ground_plane=plane, max_dist=max_dist, patch=patch)
+    np.testing.assert_allclose(ours["acc"], mean_d2s, rtol=1e-12)
+    np.testing.assert_allclose(ours["comp"], mean_s2d, rtol=1e-12)
+    np.testing.assert_allclose(ours["overall"], (mean_d2s + mean_s2d) / 2,
+                               rtol=1e-12)
