@@ -95,3 +95,53 @@ def test_tsdf_sphere_reconstruction():
     # visible hemisphere reconstructs at the right radius
     front = verts[:, 2] < center[2]
     assert np.abs(d[front] - radius).mean() < 0.05
+
+
+def test_marching_cubes_sphere():
+    """MC extracts the sphere iso-surface accurately and watertight."""
+    from uforecon_tpu.fusion.marching import marching_cubes
+
+    n = 32
+    g = np.mgrid[:n, :n, :n].astype(np.float64)
+    c, r = (n - 1) / 2, 10.0
+    field = np.sqrt(((g - c) ** 2).sum(0)) - r
+    verts, faces = marching_cubes(field, 0.0)
+    d = np.abs(np.sqrt(((verts - c) ** 2).sum(1)) - r)
+    assert len(faces) > 500
+    assert d.max() < 0.05  # crossings of the trilinear field, sub-voxel
+
+    # watertight with consistent winding: every edge shared by exactly two
+    # faces, traversed once in each direction (sphere has no boundary)
+    edges = {}
+    for tri in faces:
+        for a, b in [(tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])]:
+            edges.setdefault((min(a, b), max(a, b)), []).append(a < b)
+    assert all(len(v) == 2 and v[0] != v[1] for v in edges.values())
+
+
+def test_marching_cubes_vs_tets_same_surface():
+    """MC and tets triangulate the same zero-crossing field: chamfer between
+    the two extractions is well below a voxel (the VERDICT-r1 quantification
+    that switching triangulations cannot move DTU chamfer materially)."""
+    from scipy.spatial import cKDTree
+
+    from uforecon_tpu.fusion.marching import (marching_cubes,
+                                              marching_tetrahedra)
+
+    n = 32
+    g = np.mgrid[:n, :n, :n].astype(np.float64)
+    c, r = (n - 1) / 2, 10.0
+    field = np.sqrt(((g - c) ** 2).sum(0)) - r
+    from uforecon_tpu.eval.dtu_eval import sample_mesh_surface
+
+    v_mc, f_mc = marching_cubes(field, 0.0)
+    v_tet, f_tet = marching_tetrahedra(field, 0.0)
+    p_mc = sample_mesh_surface(v_mc, f_mc, density=0.1)
+    p_tet = sample_mesh_surface(v_tet, f_tet, density=0.1)
+    d1 = cKDTree(p_tet).query(p_mc, k=1)[0]
+    d2 = cKDTree(p_mc).query(p_tet, k=1)[0]
+    # surface-to-surface: both triangulate the same trilinear zero set;
+    # in DTU terms (1.5mm voxels) 0.05 voxel = 0.075mm, far inside the
+    # 2% chamfer budget (typical chamfer ~0.5-1.5mm)
+    assert max(d1.mean(), d2.mean()) < 0.05
+    assert max(d1.max(), d2.max()) < 0.3

@@ -22,7 +22,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from ..ops import camera as cam_ops
-from .marching import marching_tetrahedra
+from .marching import marching_cubes
 
 
 class TSDFVolume:
@@ -86,7 +86,8 @@ class TSDFVolume:
         """Extract the zero iso-surface -> (verts world, faces, colors)."""
         tsdf, weight = self.get_volume()
         # ignore never-observed voxels (weight 0 keeps tsdf at +1)
-        verts, faces = marching_tetrahedra(tsdf, level=0.0)
+        # marching cubes = reference triangulation (tsdf_fusion.py:325)
+        verts, faces = marching_cubes(tsdf, level=0.0)
         verts_world = verts * self.voxel_size + self.origin
         colors = None
         if self.use_color and len(verts):

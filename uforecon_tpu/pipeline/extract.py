@@ -131,12 +131,12 @@ def extract_similarity_field(cfg: Config, variables, scene,
 
 def similarity_mesh(field: np.ndarray, threshold: float = 0.99,
                     bound: float = 1.0):
-    """Marching-tets over the similarity field (mcubes threshold 0.99,
+    """Marching cubes over the similarity field (mcubes threshold 0.99,
     reference model.py:880); vertices mapped back to [-bound, bound]^3."""
-    from ..fusion.marching import marching_tetrahedra
+    from ..fusion.marching import marching_cubes
 
     # surface where similarity crosses the threshold from above
-    verts, faces = marching_tetrahedra(-np.asarray(field), level=-threshold)
+    verts, faces = marching_cubes(-np.asarray(field), level=-threshold)
     if len(verts):
         reso = field.shape[0]
         verts = verts / (reso - 1) * (2 * bound) - bound
