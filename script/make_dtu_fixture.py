@@ -11,8 +11,7 @@ import os, sys
 import numpy as np
 import cv2
 
-sys.path.insert(0, __import__("os").path.join(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 from uforecon_tpu.data.io import write_cam_file
 
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dtu_fixture"

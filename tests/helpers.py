@@ -177,3 +177,142 @@ class SyntheticDataset:
 
     def __getitem__(self, i):
         return make_synthetic_sample(seed=int(i), **self.kw)
+
+
+# ---------------------------------------------------------------------------
+# Reference (PyTorch) test support: import /root/reference with the deps it
+# needs stubbed. torchvision's deform_conv2d stub is a REAL (pure-torch)
+# implementation so the reference FeatureNet/DCN path runs for golden tests.
+# ---------------------------------------------------------------------------
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def torch_bilinear_zeros(img, py, px):
+    """Bilinear sample img (N,C,H,W) at (py, px) (N,HO,WO), zeros padding."""
+    import torch
+
+    n, c, h, w = img.shape
+    y0 = torch.floor(py)
+    x0 = torch.floor(px)
+    wy = py - y0
+    wx = px - x0
+    y0 = y0.long()
+    x0 = x0.long()
+    flat = img.reshape(n, c, h * w)
+    out = 0
+    for ddy, ddx, wgt in ((0, 0, (1 - wy) * (1 - wx)), (0, 1, (1 - wy) * wx),
+                          (1, 0, wy * (1 - wx)), (1, 1, wy * wx)):
+        yy = y0 + ddy
+        xx = x0 + ddx
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = (yy.clamp(0, h - 1) * w + xx.clamp(0, w - 1))
+        idx = idx.reshape(n, 1, -1).expand(n, c, idx[0].numel())
+        v = torch.gather(flat, 2, idx).reshape(n, c, *py.shape[1:])
+        out = out + v * (wgt * inb.to(img.dtype)).unsqueeze(1)
+    return out
+
+
+def torch_deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                        padding=(0, 0), dilation=(1, 1), mask=None):
+    """Pure-torch torchvision.ops.deform_conv2d (DCNv2) for golden tests.
+
+    Offset layout per torchvision: (N, 2*KK, HO, WO) with interleaved
+    (dy_t, dx_t) channel pairs; sampling at p*stride - padding + k*dilation
+    + offset, bilinear with zeros padding, optional modulation mask.
+    """
+    import torch
+
+    def pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    sy, sx = pair(stride)
+    py_, px_ = pair(padding)
+    dy, dx = pair(dilation)
+    n, c, h, w = input.shape
+    cout, cin, kh, kw = weight.shape
+    assert cin == c, "offset_groups > 1 not needed by the reference"
+    hout = (h + 2 * py_ - dy * (kh - 1) - 1) // sy + 1
+    wout = (w + 2 * px_ - dx * (kw - 1) - 1) // sx + 1
+    kk = kh * kw
+    off = offset.reshape(n, kk, 2, hout, wout)
+    msk = (torch.ones(n, kk, hout, wout, dtype=input.dtype)
+           if mask is None else mask.reshape(n, kk, hout, wout))
+
+    oy = (torch.arange(hout, dtype=input.dtype) * sy - py_).view(1, -1, 1)
+    ox = (torch.arange(wout, dtype=input.dtype) * sx - px_).view(1, 1, -1)
+    out = torch.zeros(n, cout, hout, wout, dtype=input.dtype)
+    wk = weight.reshape(cout, cin, kk)
+    for t in range(kk):
+        ky, kx = divmod(t, kw)
+        pyy = oy + ky * dy + off[:, t, 0]
+        pxx = ox + kx * dx + off[:, t, 1]
+        val = torch_bilinear_zeros(input, pyy, pxx) * msk[:, t:t + 1]
+        out = out + torch.einsum("oc,nchw->nohw", wk[:, :, t], val)
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
+def install_reference_stubs():
+    """Idempotently stub kornia / torchvision / pytorch_lightning / piq /
+    mcubes so /root/reference/code1 imports, and put it on sys.path."""
+    import sys
+    import types
+
+    import torch
+
+    if "kornia" not in sys.modules:
+        kornia = types.ModuleType("kornia")
+        kornia.utils = types.ModuleType("kornia.utils")
+        kornia.utils.create_meshgrid = lambda *a, **k: None
+        sys.modules["kornia"] = kornia
+        sys.modules["kornia.utils"] = kornia.utils
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.ModuleType("torchvision.ops")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv.ops
+    # always (re)install the REAL implementation — an earlier fixture may
+    # have stubbed it with a None-returning lambda
+    tv.ops.deform_conv2d = torch_deform_conv2d
+    tv.ops.DeformConv2d = object
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        pl.seed_everything = lambda *a, **k: None
+        sys.modules["pytorch_lightning"] = pl
+    if "piq" not in sys.modules:
+        piq = types.ModuleType("piq")
+        piq.psnr = lambda *a, **k: torch.zeros(())
+        sys.modules["piq"] = piq
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+    if "mcubes" not in sys.modules:
+        mc = types.ModuleType("mcubes")
+        mc.marching_cubes = lambda *a, **k: (None, None)
+        sys.modules["mcubes"] = mc
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)

@@ -146,3 +146,34 @@ def test_cascade_matcher_end_to_end(rng):
     # stage2 spans +-1.0 around stage1 WTA, stage3 +-0.5 around stage2
     d = np.asarray(out["mvs_depth"])
     assert d.min() >= 0.4 and d.max() <= 7.6
+
+
+def test_share_cr_param_tree():
+    """--share_cr builds ONE CostRegNet shared by all stages (reference
+    TransMVSNet.py:156-157); default builds one per stage."""
+    v, h, w = 2, 32, 32
+    imgs = jnp.zeros((v, h, w, 3), jnp.float32)
+    projs = {}
+    base = np.zeros((v, 2, 4, 4), np.float32)
+    for i in range(v):
+        E = np.eye(4, dtype=np.float32)
+        E[2, 3] = 4.0
+        K = np.eye(4, dtype=np.float32)
+        K[:3, :3] = np.array([[10, 0, 4], [0, 10, 4], [0, 0, 1]])
+        base[i, 0], base[i, 1] = E, K
+    for s, scale in [(1, 1.0), (2, 2.0), (3, 4.0)]:
+        p = base.copy()
+        p[:, 1, :2] *= scale
+        projs[f"stage{s}"] = jnp.asarray(p)
+    depth_values = jnp.linspace(2.0, 6.0, 8)
+
+    def param_keys(share_cr):
+        m = CascadeMatcher(ndepths=(8, 8, 8), fmt_layer_names=("self",),
+                           share_cr=share_cr)
+        variables = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), imgs, projs, depth_values)
+        )
+        return {k for k in variables["params"] if k.startswith("cost_reg")}
+
+    assert param_keys(False) == {"cost_reg_0", "cost_reg_1", "cost_reg_2"}
+    assert param_keys(True) == {"cost_reg_shared"}

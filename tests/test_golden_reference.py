@@ -20,21 +20,9 @@ def ref_modules():
 
     if not os.path.isdir(REF):
         pytest.skip("reference tree unavailable")
-    # stub deps used only by vestigial reference code
-    if "kornia" not in sys.modules:
-        kornia = types.ModuleType("kornia")
-        kornia.utils = types.ModuleType("kornia.utils")
-        kornia.utils.create_meshgrid = lambda *a, **k: None
-        sys.modules["kornia"] = kornia
-        sys.modules["kornia.utils"] = kornia.utils
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.ops = types.ModuleType("torchvision.ops")
-        tv.ops.deform_conv2d = lambda *a, **k: None
-        tv.ops.DeformConv2d = object
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
-    sys.path.insert(0, REF)
+    from helpers import install_reference_stubs
+
+    install_reference_stubs()
     import importlib
 
     module = importlib.import_module("code1.encoder_utils.fmt.module")

@@ -118,7 +118,8 @@ def test_query_similarity_merged_matches_naive(rng):
     scene, _ = make_synthetic_scene(n_views=nv, h=h, w=w)
     pts = jnp.asarray(rng.uniform(-0.5, 0.5, (6, 5, 3)).astype(np.float32))
 
-    sim, xy, valid = query_similarity(pts, scene.source_poses, aug0, aug1, nv)
+    sim, xy, valid = query_similarity(pts, scene.source_poses, aug0, aug1, nv,
+                                      pair_quirk=False)
 
     # naive reference: per-pair gathers + grouped cosine, mean over pairs
     pairs = [(a, b) for a in range(nv - 1) for b in range(a + 1, nv)]
@@ -138,4 +139,25 @@ def test_query_similarity_merged_matches_naive(rng):
         cos_all.append(dot / jnp.maximum(ni * nj, 1e-8))
     ref = jnp.mean(jnp.stack(cos_all), axis=0)
     np.testing.assert_allclose(np.asarray(sim), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # quirk mode (reference-shipped default): view j samples the view-i map
+    sim_q, _, _ = query_similarity(pts, scene.source_poses, aug0, aug1, nv,
+                                   pair_quirk=True)
+    cos_all_q = []
+    for k, (i, j) in enumerate(pairs):
+        si = grid_sample_2d_packed(pack_image_corners(aug0[k:k + 1]),
+                                   xy[i:i + 1], align_corners=True,
+                                   padding_mode="border")[0]
+        sj = grid_sample_2d_packed(pack_image_corners(aug0[k:k + 1]),
+                                   xy[j:j + 1], align_corners=True,
+                                   padding_mode="border")[0]
+        gi = si.reshape(*si.shape[:-1], 8, c // 8)
+        gj = sj.reshape(*sj.shape[:-1], 8, c // 8)
+        dot = jnp.sum(gi * gj, -1)
+        ni = jnp.sqrt(jnp.sum(gi * gi, -1))
+        nj = jnp.sqrt(jnp.sum(gj * gj, -1))
+        cos_all_q.append(dot / jnp.maximum(ni * nj, 1e-8))
+    ref_q = jnp.mean(jnp.stack(cos_all_q), axis=0)
+    np.testing.assert_allclose(np.asarray(sim_q), np.asarray(ref_q),
                                rtol=1e-5, atol=1e-5)

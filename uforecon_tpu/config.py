@@ -3,6 +3,18 @@
 One dataclass replaces the reference's argparse-`args` object that is threaded
 through every module (reference: main.py:37-104). Knob names are kept
 identical to the reference CLI flags so shipped scripts translate 1:1.
+
+Intentionally inert parity flags — accepted so reference command lines run
+unchanged, but (as in the reference itself) never read by the live path:
+  * ``sW`` / ``sH`` / ``patch_size`` — patch-sampling knobs; the reference
+    parses them (main.py:58-62) but the live ray sampler ignores them.
+  * ``only_reference_frustum`` — read only by a dead branch of the
+    reference's feature-volume path.
+  * ``test_dir`` — parsed but unused in the reference live path.
+  * ``--depth_dir`` — only read in commented-out reference code
+    (dtu_test_sparse.py:134); accepted and dropped here.
+All other flags are threaded; ``batch_size`` selects how many scenes are
+averaged per optimizer step (pipeline/fit.py).
 """
 from __future__ import annotations
 
@@ -75,6 +87,10 @@ class Config:
     mvs_depth_guide: int = 1
     depth_pos_encoding: bool = True
     explicit_similarity: bool = True
+    # reference-shipped similarity semantics: FMT cross returns pair_feat1
+    # twice (FMT.py:197), so both sides of each pair sample the view-i map
+    # (degenerates to ~1.0); False = genuine (feat0', feat1') halves
+    sim_pair_quirk: bool = True
     use_dir_srdf: bool = False
     only_reference_frustum: bool = False
     fmt_d_model: int = 32

@@ -49,13 +49,17 @@ def _convert_tensor(name: str, arr: np.ndarray, target_shape: Tuple[int, ...]
                     ) -> Optional[np.ndarray]:
     """Layout-convert a torch tensor to match a flax leaf shape, or None."""
     a = np.asarray(arr)
-    cands = [a]
+    # canonical layout conversion FIRST: for square linear/conv weights the
+    # raw tensor also matches the target shape, but torch (out, in) / OIHW
+    # must still be transposed — identity is only a last-resort fallback
+    cands = []
     if a.ndim == 4:                       # conv OIHW -> HWIO
         cands.append(a.transpose(2, 3, 1, 0))
     if a.ndim == 5:                       # conv3d OIDHW -> DHWIO
         cands.append(a.transpose(2, 3, 4, 1, 0))
     if a.ndim == 2:                       # linear (out, in) -> (in, out)
         cands.append(a.T)
+    cands.append(a)
     for c in cands:
         if tuple(c.shape) == tuple(target_shape):
             return c
@@ -218,3 +222,270 @@ def convert_state_dict(
 def convert_checkpoint(path: str, params: Any, batch_stats: Any = None):
     """Convenience: load + convert a reference checkpoint file."""
     return convert_state_dict(load_state_dict(path), params, batch_stats)
+
+
+# --------------------------------------------------------------------------
+# Exact name mapping for the live reference architecture. Where the
+# shape-order heuristic above can mis-pair same-shaped tensors, this table
+# pins every reference tensor to its flax leaf by name.
+# --------------------------------------------------------------------------
+
+
+def _convbn(tp, fp):
+    """Reference Conv2d/Conv3d wrapper (.conv/.bn) -> our ConvBnRelu."""
+    return {
+        f"{tp}.conv.weight": ("params", fp + ("Conv_0", "kernel")),
+        f"{tp}.bn.weight": ("params", fp + ("BatchNorm_0", "scale")),
+        f"{tp}.bn.bias": ("params", fp + ("BatchNorm_0", "bias")),
+        f"{tp}.bn.running_mean": ("batch_stats", fp + ("BatchNorm_0", "mean")),
+        f"{tp}.bn.running_var": ("batch_stats", fp + ("BatchNorm_0", "var")),
+    }
+
+
+def _plain(tp, fp, bias=True):
+    m = {f"{tp}.weight": ("params", fp + ("kernel",))}
+    if bias:
+        m[f"{tp}.bias"] = ("params", fp + ("bias",))
+    return m
+
+
+def _deconvbn(tp, fp):
+    """Reference Deconv2d/Deconv3d wrapper -> our DeconvBnRelu (the flax
+    submodule auto-name is ConvTranspose_0, not Conv_0)."""
+    return {
+        f"{tp}.conv.weight": ("params", fp + ("ConvTranspose_0", "kernel")),
+        f"{tp}.bn.weight": ("params", fp + ("BatchNorm_0", "scale")),
+        f"{tp}.bn.bias": ("params", fp + ("BatchNorm_0", "bias")),
+        f"{tp}.bn.running_mean": ("batch_stats", fp + ("BatchNorm_0", "mean")),
+        f"{tp}.bn.running_var": ("batch_stats", fp + ("BatchNorm_0", "var")),
+    }
+
+
+def _bn(tp, fp):
+    return {
+        f"{tp}.weight": ("params", fp + ("scale",)),
+        f"{tp}.bias": ("params", fp + ("bias",)),
+        f"{tp}.running_mean": ("batch_stats", fp + ("mean",)),
+        f"{tp}.running_var": ("batch_stats", fp + ("var",)),
+    }
+
+
+def _dcn(tp, fp):
+    return {
+        f"{tp}.weight": ("params", fp + ("weight",)),
+        f"{tp}.bias": ("params", fp + ("bias",)),
+        f"{tp}.conv_offset_mask.weight":
+            ("params", fp + ("conv_offset_mask", "kernel")),
+        f"{tp}.conv_offset_mask.bias":
+            ("params", fp + ("conv_offset_mask", "bias")),
+    }
+
+
+def _fmt_layer(tp, fp):
+    """Reference fmt EncoderLayer -> our FMTEncoderLayer."""
+    m = {}
+    for tn, fn in [("attention.query_projection", "q_proj"),
+                   ("attention.key_projection", "k_proj"),
+                   ("attention.value_projection", "v_proj"),
+                   ("attention.out_projection", "out_proj"),
+                   ("linear1", "ff1"), ("linear2", "ff2")]:
+        m.update(_plain(f"{tp}.{tn}", fp + (fn,)))
+    for n in ("norm1", "norm2"):
+        m[f"{tp}.{n}.weight"] = ("params", fp + (n, "scale"))
+        m[f"{tp}.{n}.bias"] = ("params", fp + (n, "bias"))
+    return m
+
+
+def _loftr_layer(tp, fp):
+    """Reference attention/transformer LoFTREncoderLayer (bias-free)."""
+    m = {}
+    for tn, fn in [("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                   ("v_proj", "v_proj"), ("merge", "merge"),
+                   ("mlp.0", "mlp1"), ("mlp.2", "mlp2")]:
+        m.update(_plain(f"{tp}.{tn}", fp + (fn,), bias=False))
+    for n in ("norm1", "norm2"):
+        m[f"{tp}.{n}.weight"] = ("params", fp + (n, "scale"))
+        m[f"{tp}.{n}.bias"] = ("params", fp + (n, "bias"))
+    return m
+
+
+def featurenet_name_map(tp="", fp=()):
+    """fmt/module.py FeatureNet -> models/featurenet.py FeatureNet."""
+    m = {}
+    convs = (
+        [(f"conv0.{i}", f"ConvBnRelu_{i}") for i in range(2)]
+        + [(f"conv1.{i}", f"ConvBnRelu_{2 + i}") for i in range(3)]
+        + [(f"conv2.{i}", f"ConvBnRelu_{5 + i}") for i in range(3)]
+    )
+    for t, f in convs:
+        m.update(_convbn(tp + t, fp + (f,)))
+    for k in (1, 2, 3):
+        o = f"out{k}"
+        m.update(_convbn(f"{tp}{o}.0", fp + (o, "ConvBnRelu_0")))
+        m.update(_dcn(f"{tp}{o}.1", fp + (o, "dcn0")))
+        m.update(_bn(f"{tp}{o}.2", fp + (o, "BatchNorm_0")))
+        m.update(_dcn(f"{tp}{o}.4", fp + (o, "dcn1")))
+        m.update(_bn(f"{tp}{o}.5", fp + (o, "BatchNorm_1")))
+        m.update(_dcn(f"{tp}{o}.7", fp + (o, "dcn2")))
+    m.update(_plain(tp + "inner1", fp + ("inner1",)))
+    m.update(_plain(tp + "inner2", fp + ("inner2",)))
+    return m
+
+
+def fmt_pathway_name_map(tp="", fp=(), n_layers=8):
+    """fmt/FMT.py FMT_with_pathway -> models/fmt.py FMTWithPathway."""
+    m = {}
+    for i in range(n_layers):
+        m.update(_fmt_layer(f"{tp}FMT.layers.{i}", fp + ("fmt", f"layer_{i}")))
+    for n in ("dim_reduction_1", "dim_reduction_2", "smooth_1", "smooth_2"):
+        m.update(_plain(tp + n, fp + (n,), bias=False))
+    return m
+
+
+def pixelwise_name_map(tp="", fp=()):
+    m = {}
+    m.update(_convbn(tp + "conv0", fp + ("Conv3dBnRelu_0",)))
+    m.update(_convbn(tp + "conv1", fp + ("Conv3dBnRelu_1",)))
+    m.update(_plain(tp + "conv2", fp + ("Conv_0",)))
+    return m
+
+
+def costregnet_name_map(tp="", fp=()):
+    """fmt/module.py CostRegNet (Conv3d/Deconv3d wrappers + final prob)."""
+    m = {}
+    order = [("conv0", "Conv3dBnRelu_0"), ("conv1", "Conv3dBnRelu_1"),
+             ("conv2", "Conv3dBnRelu_2"), ("conv3", "Conv3dBnRelu_3"),
+             ("conv4", "Conv3dBnRelu_4"), ("conv5", "Conv3dBnRelu_5"),
+             ("conv6", "Conv3dBnRelu_6")]
+    for t, f in order:
+        m.update(_convbn(tp + t, fp + (f,)))
+    for t, f in [("conv7", "Deconv3dBnRelu_0"), ("conv9", "Deconv3dBnRelu_1"),
+                 ("conv11", "Deconv3dBnRelu_2")]:
+        m.update(_deconvbn(tp + t, fp + (f,)))
+    m.update(_plain(tp + "prob", fp + ("Conv_0",), bias=False))
+    return m
+
+
+def costregnetweight_name_map(tp="", fp=()):
+    """fmt/module.py CostRegNetWeight (plain Conv3d/ConvTranspose3d)."""
+    m = {}
+    for n in ("conv0", "conv1", "conv2", "conv3", "conv4", "conv5", "conv6",
+              "conv7", "conv9", "conv11"):
+        m.update(_plain(tp + n, fp + (n,)))
+    m.update(_plain(tp + "features", fp + ("features",), bias=False))
+    m.update(_plain(tp + "weights", fp + ("weights",), bias=False))
+    return m
+
+
+def ray_transformer_name_map(tp="", fp=()):
+    """code1/ray_transformer.py RayTransformer -> ours."""
+    m = {}
+    for t_i, f_i in [(0, 0), (2, 1), (4, 2)]:
+        m.update(_plain(f"{tp}pre_sim_mlp.{t_i}",
+                        fp + ("pre_sim_mlp", f"Dense_{f_i}")))
+        m.update(_plain(f"{tp}DensityMLP.{t_i}",
+                        fp + ("density_mlp", f"Dense_{f_i}")))
+        m.update(_plain(f"{tp}linear_radianceweight_1_softmax.{t_i}",
+                        fp + ("linear_radianceweight_1_softmax",
+                              f"Dense_{f_i}")))
+    m.update(_loftr_layer(tp + "density_view_transformer.layers.0",
+                          fp + ("density_view_transformer", "layer_0")))
+    m.update(_loftr_layer(tp + "density_ray_transformer.layers.0",
+                          fp + ("density_ray_transformer", "layer_0")))
+    m[tp + "viewToken.view_token"] = ("params", fp + ("view_token",))
+    # constant NeRF-PE frequency buffers (not learned; we recompute them)
+    for pe in ("depthcode", "dircode"):
+        m[f"{tp}{pe}._freqs"] = None
+        m[f"{tp}{pe}._phases"] = None
+    return m
+
+
+def transmvsnet_name_map(tp="", fp=(), share_cr=False):
+    """Full TransMVSNet -> our CascadeMatcher subtree."""
+    m = {}
+    m.update(featurenet_name_map(tp + "feature.", fp + ("feature",)))
+    m.update(fmt_pathway_name_map(tp + "FMT_with_pathway.",
+                                  fp + ("fmt_with_pathway",)))
+    m.update(pixelwise_name_map(tp + "DepthNet.pixel_wise_net.",
+                                fp + ("pixel_wise_net",)))
+    if share_cr:
+        m.update(costregnet_name_map(tp + "cost_regularization.",
+                                     fp + ("cost_reg_shared",)))
+    else:
+        for i in range(3):
+            m.update(costregnet_name_map(f"{tp}cost_regularization.{i}.",
+                                         fp + (f"cost_reg_{i}",)))
+    return m
+
+
+def uforecon_name_map(share_cr=False):
+    """Full reference UFORecon (model.py attribute names) -> our UFORecon."""
+    m = {}
+    m.update(transmvsnet_name_map("transmvsnet.", ("matcher",),
+                                  share_cr=share_cr))
+    m.update(costregnetweight_name_map("feature_volume.cost_reg_2.",
+                                       ("mvs_volume",)))
+    m.update(ray_transformer_name_map("ray_transformer.",
+                                      ("ray_transformer",)))
+    m["deviation_network.variance"] = ("params", ("variance",))
+    # dead module: model.py:70 pre_conv is constructed but never called
+    m["pre_conv.weight"] = None
+    return m
+
+
+def convert_named(
+    state_dict: Dict[str, np.ndarray],
+    name_map: Dict[str, Tuple[str, Tuple[str, ...]]],
+    params: Any,
+    batch_stats: Any = None,
+    strict: bool = True,
+) -> Tuple[Any, Any, Dict[str, List[str]]]:
+    """Exact-name transplant: every torch tensor lands on its named flax
+    leaf with layout conversion; mismatches raise (strict) or are reported."""
+    import copy
+
+    import jax
+
+    new_params = copy.deepcopy(
+        jax.tree_util.tree_map(lambda x: np.array(x), params))
+    new_bs = (copy.deepcopy(
+        jax.tree_util.tree_map(lambda x: np.array(x), batch_stats))
+        if batch_stats is not None else None)
+    report = {"matched": [], "unmatched_torch": [], "unmatched_flax": []}
+
+    def get(tree, path):
+        node = tree
+        for p in path:
+            if node is None or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    for name, arr in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        if name in name_map and name_map[name] is None:
+            continue  # explicitly skipped (constant buffers)
+        tgt = name_map.get(name)
+        if tgt is None:
+            report["unmatched_torch"].append(name)
+            if strict:
+                raise KeyError(f"no mapping for reference tensor {name}")
+            continue
+        coll, path = tgt
+        tree = new_params if coll == "params" else new_bs
+        leaf = get(tree, path)
+        if leaf is None:
+            report["unmatched_flax"].append("/".join(path))
+            if strict:
+                raise KeyError(f"flax leaf missing: {'/'.join(path)}")
+            continue
+        conv = _convert_tensor(name, np.asarray(arr), np.shape(leaf))
+        if conv is None:
+            raise ValueError(
+                f"{name} shape {np.shape(arr)} not convertible to "
+                f"{'/'.join(path)} {np.shape(leaf)}")
+        _unflatten_set(get(tree, path[:-1]), path[-1:], 
+                       conv.astype(np.asarray(leaf).dtype))
+        report["matched"].append(f"{name} -> {'/'.join(path)}")
+    return new_params, new_bs, report

@@ -269,6 +269,7 @@ class CascadeMatcher(nn.Module):
     base_channels: int = 8
     fmt_layer_names: Sequence[str] = ("self", "cross") * 4
     grad_method: str = "detach"
+    share_cr: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -283,10 +284,16 @@ class CascadeMatcher(nn.Module):
             dtype=self.dtype,
         )
         self.pixel_wise_net = PixelwiseNet(dtype=self.dtype)
-        self.cost_reg = [
-            CostRegNet(self.cr_base_chs[i], dtype=self.dtype, name=f"cost_reg_{i}")
-            for i in range(len(self.ndepths))
-        ]
+        if self.share_cr:
+            # one regularizer shared by all stages, base_channels fixed at 8
+            # (reference TransMVSNet.py:156-157, applied at :222)
+            shared = CostRegNet(8, dtype=self.dtype, name="cost_reg_shared")
+            self.cost_reg = [shared] * len(self.ndepths)
+        else:
+            self.cost_reg = [
+                CostRegNet(self.cr_base_chs[i], dtype=self.dtype, name=f"cost_reg_{i}")
+                for i in range(len(self.ndepths))
+            ]
 
     # -- single cascade stage (reference DepthNet.forward TransMVSNet.py:49-121)
     def _run_stage(self, stage_idx, features, proj_matrices, depth_values,
@@ -338,12 +345,12 @@ class CascadeMatcher(nn.Module):
         for s, nd in enumerate(self.ndepths):
             hs, ws = h // scales[s], w // scales[s]
             if depth is None:
-                # stage 1: hypotheses are spatially constant; resize the D
-                # axis only (equivalent to the reference's full trilinear
-                # resize of a spatially-constant volume, TransMVSNet.py:220)
-                hyp_d = depth_hypotheses_full(depth_min, depth_max,
-                                              depth_values.shape[0])
-                hyp_d = jax.image.resize(hyp_d, (nd,), method="linear")
+                # stage 1: uniform ndepth hypotheses from scene min..max —
+                # the reference's 2-dim get_depth_range_samples branch
+                # already emits ndepth values (module.py:692-699), so the
+                # follow-up trilinear resize (TransMVSNet.py:220) is an
+                # identity on the depth axis
+                hyp_d = depth_hypotheses_full(depth_min, depth_max, nd)
                 hyp = jnp.broadcast_to(hyp_d[:, None, None], (nd, hs, ws))
             else:
                 cur = depth
@@ -419,8 +426,15 @@ class CascadeMatcher(nn.Module):
             )
             _, rots = scan(self, None, (feats_rot, projs_rot))
 
-        # pairwise matching features over raw backbone stage1 (model.py:505)
-        aug0, aug1 = self.fmt_with_pathway.extract_cross_features(feats["stage1"], v)
+        # Pairwise matching features run over the FMT-TRANSFORMED stage1 of
+        # rotation 0 — the reference's "features_backbone" list is mutated
+        # in place by FMT_with_pathway inside TransMVSNet.forward
+        # (FMT.py:243-252 assigns into the same dicts), so get_match_feat
+        # (model.py:505 -> TransMVSNet.py:341) and the ray transformer's
+        # image features both see post-FMT features, not the raw backbone.
+        fmt_stage1_rot0 = rots["fmt_stage1"][0]           # (V, h1, w1, C1)
+        aug0, aug1 = self.fmt_with_pathway.extract_cross_features(
+            fmt_stage1_rot0, v)
 
         rot0_aux = {
             f"stage{s+1}": {
@@ -437,6 +451,9 @@ class CascadeMatcher(nn.Module):
         }
         mvs_depth = rots[f"depth{len(self.ndepths)}"]    # (V, H, W)
         return {
+            # rotation-0 FMT-transformed stage1: what the reference feeds the
+            # ray transformer / similarity / featuregrid paths (see above)
+            "feat_stage1": fmt_stage1_rot0,
             "backbone_stage1": feats["stage1"],           # (V, h1, w1, C1)
             "cost_volumes": cost_volumes,
             "mvs_depth": mvs_depth,
@@ -450,7 +467,7 @@ class CascadeMatcher(nn.Module):
         to a dict of stackable per-stage tensors."""
         feats_fmt = self.fmt_with_pathway(feats_rot)
         outs = self._cascade(feats_fmt, projs_rot, depth_values, img_hw, train)
-        flat = {}
+        flat = {"fmt_stage1": feats_fmt["stage1"]}
         for s in range(len(self.ndepths)):
             st = outs[f"stage{s+1}"]
             flat[f"cost_volume{s+1}"] = st["cost_volume"]

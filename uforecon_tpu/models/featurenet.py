@@ -39,9 +39,13 @@ class DCN(nn.Module):
             dtype=self.dtype,
             name="conv_offset_mask",
         )(x)
-        dy, dx, m = jnp.split(om, 3, axis=-1)
-        offsets = jnp.stack([dy, dx], axis=-1)  # (N, H, W, KK, 2)
-        mask = nn.sigmoid(m)
+        # torchvision deform_conv2d offset layout: the first 2*KK channels
+        # are INTERLEAVED (dy_0, dx_0, dy_1, dx_1, ...) pairs — the DCNv2
+        # wrapper's chunk+cat (dcn.py:60-63) feeds o1||o2 into that
+        # interpretation, so channel 2t is dy_t and 2t+1 is dx_t. Matching
+        # it keeps checkpoint transplants bit-faithful.
+        offsets = om[..., : 2 * kk].reshape(*om.shape[:-1], kk, 2)
+        mask = nn.sigmoid(om[..., 2 * kk:])
 
         cin = x.shape[-1]
         weight = self.param(

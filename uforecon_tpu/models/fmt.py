@@ -12,10 +12,12 @@ attention layers is shared across the three operating modes:
     batched together, self layers update the pack while cross layers attend
     to the *raw* position-encoded swapped pack (FMT.py:174-197).
 
-Known reference quirk (documented, intentionally not reproduced): the torch
-code returns ``pair_feat1`` twice from cross mode, so downstream
-``get_match_feat`` hands view j the augmented features of view i
-(TransMVSNet.py:341-375). We return the genuine (feat0', feat1') halves.
+Known reference quirk: the torch code returns ``pair_feat1`` twice from
+cross mode, so downstream ``get_match_feat`` hands view j the augmented
+features of view i (TransMVSNet.py:341-375). We return the genuine
+(feat0', feat1') halves here; the quirk is reproduced where it matters —
+in the similarity query (ray_transformer.query_similarity pair_quirk,
+default on for reference parity).
 
 All modes run batched over views/pairs — no python loop over views.
 """

@@ -26,11 +26,15 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch pads symmetrically ((k-1)/2 each side, module.py:43);
+        # flax "SAME" pads (lo, hi) asymmetrically under stride 2, which
+        # shifts the sampling grid — use explicit symmetric padding
+        p = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             use_bias=not self.bn,
             dtype=self.dtype,
         )(x)
@@ -56,7 +60,8 @@ class DeconvBnRelu(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             strides=(2, 2),
-            padding="SAME",
+            padding=((1, 2), (1, 2)),
+            transpose_kernel=True,
             use_bias=False,
             dtype=self.dtype,
         )(x)
@@ -80,11 +85,12 @@ class Conv3dBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel,) * 3,
             strides=(self.stride,) * 3,
-            padding="SAME",
+            padding=((p, p),) * 3,
             use_bias=not self.bn,
             dtype=self.dtype,
         )(x)
@@ -111,7 +117,8 @@ class Deconv3dBnRelu(nn.Module):
             self.features,
             (self.kernel,) * 3,
             strides=(2, 2, 2),
-            padding="SAME",
+            padding=((1, 2),) * 3,
+            transpose_kernel=True,
             use_bias=not self.bn,
             dtype=self.dtype,
         )(x)

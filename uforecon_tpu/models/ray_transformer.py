@@ -77,6 +77,7 @@ def query_similarity(
     aug1: jnp.ndarray,          # (P, h, w, C) pairwise match features, view j
     n_views: int,
     n_groups: int = 8,
+    pair_quirk: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Explicit pairwise feature similarity (reference model.py:218-305).
 
@@ -84,6 +85,16 @@ def query_similarity(
     projection into view i and view-j's at the projection into view j
     (align_corners=True, border padding — gmflow_utils.py:83), split channels
     into ``n_groups`` groups, cosine similarity per group, mean over pairs.
+
+    ``pair_quirk`` (default, reference-shipped semantics): the reference's
+    FMT cross mode returns ``pair_feat1`` TWICE (FMT.py:197), so
+    get_match_feat hands view j the pair's view-i augmented map and the
+    cosine compares the SAME map sampled at the two projections
+    (TransMVSNet.py:362-366 + model.py:270-282) — with trained FMT weights
+    whose cross output is spatially near-constant this makes feat_info
+    degenerate to ~1.0. Golden-tested against the torch code
+    (tests/test_golden_full.py). Set False for the genuine (feat0', feat1')
+    halves the paper describes.
 
     TPU layout: every pair-feature map of a given view is sampled at that
     view's SAME projection, so the (NV-1) maps per view are concatenated
@@ -98,6 +109,8 @@ def query_similarity(
     """
     from ..ops.camera import project_points_ndc
 
+    assert n_views >= 2, (
+        f"explicit similarity needs >= 2 source views, got {n_views}")
     xy, _, valid = project_points_ndc(source_poses, points)
 
     pairs = [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
@@ -108,7 +121,7 @@ def query_similarity(
         slots[i].append((0, p))
         maps[i].append(aug0[p])
         slots[j].append((1, p))
-        maps[j].append(aug1[p])
+        maps[j].append(aug0[p] if pair_quirk else aug1[p])
     merged = jnp.stack([jnp.concatenate(m, axis=-1) for m in maps])
     # one packed row of 4 corners x (NV-1)C values per view-point
     sampled = grid_sample_2d_packed(pack_image_corners(merged), xy,
@@ -292,6 +305,13 @@ class RayTransformer(nn.Module):
                 and pe_nv is not None and not self.use_dir_srdf
                 and self.dtype == jnp.float32)
         if self.fused == "always":
+            if not full:
+                raise ValueError(
+                    "fused_point_head='always' but the fused kernel's "
+                    "prerequisites are not met (needs correlation volume + "
+                    "explicit similarity + depth PE features, "
+                    "use_dir_srdf=False, float32 compute); use 'auto' to "
+                    "allow the flax fallback")
             return full
         return full and jax.default_backend() == "tpu"
 

@@ -79,6 +79,7 @@ class UFORecon(nn.Module):
             cr_base_chs=c.cr_base_chs,
             fmt_layer_names=c.fmt_layer_names,
             grad_method=c.grad_method,
+            share_cr=c.share_cr,
             dtype=dtype,
         )
         if c.volume_type == "correlation" and c.volume_reso > 0:
@@ -142,11 +143,11 @@ class UFORecon(nn.Module):
                 _, volumes[stage] = scan(self, None, cv)
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_grid = self.feature_volume(
-                enc["backbone_stage1"], scene.source_poses, train
+                enc["feat_stage1"], scene.source_poses, train
             )
         mvs_depths = enc["mvs_depth"] * scene.scale_factor
         return EncoderOutputs(
-            source_feats=enc["backbone_stage1"],
+            source_feats=enc["feat_stage1"],
             volumes=volumes,
             fea_grid=fea_grid,
             aug0=enc["aug0"],
@@ -170,7 +171,7 @@ class UFORecon(nn.Module):
         if c.explicit_similarity:
             sim_feat, xy, valid = query_similarity(
                 points, scene.source_poses, enc.aug0, enc.aug1, nv,
-                n_groups=c.cos_n_group,
+                n_groups=c.cos_n_group, pair_quirk=c.sim_pair_quirk,
             )
         if xy is None:
             xy, _, valid = cam_ops.project_points_ndc(scene.source_poses, points)

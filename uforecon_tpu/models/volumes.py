@@ -36,13 +36,16 @@ class CostRegNetWeight(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: (N, D, H, W, Cin)
         b = self.base_channels
+        # explicit torch-equivalent padding: symmetric (1,1) for the convs
+        # (flax SAME is asymmetric under stride 2), ((1,2)+transposed kernel)
+        # for convT(k3,s2,p1,op1) — see models/layers.py
         conv = lambda f, s, name: nn.Conv(
-            f, (3, 3, 3), strides=(s,) * 3, padding="SAME", dtype=self.dtype,
-            name=name,
+            f, (3, 3, 3), strides=(s,) * 3, padding=((1, 1),) * 3,
+            dtype=self.dtype, name=name,
         )
         deconv = lambda f, name: nn.ConvTranspose(
-            f, (3, 3, 3), strides=(2, 2, 2), padding="SAME", dtype=self.dtype,
-            name=name,
+            f, (3, 3, 3), strides=(2, 2, 2), padding=((1, 2),) * 3,
+            transpose_kernel=True, dtype=self.dtype, name=name,
         )
         c0 = conv(b, 1, "conv0")(x)
         c2 = conv(b * 2, 1, "conv2")(conv(b * 2, 2, "conv1")(c0))

@@ -118,7 +118,13 @@ def grid_sample_2d_packed(
 ) -> jnp.ndarray:
     """Bilinear sampling from a corner-packed image (see pack_image_corners).
     Bit-equivalent to grid_sample_2d on the unpacked image; one gather per
-    point instead of four."""
+    point instead of four.
+
+    NaN caveat: indices are clamped for every FINITE coordinate, so
+    promise_in_bounds is safe — but non-finite grid values (NaN projections
+    from degenerate poses) int-cast to arbitrary in-buffer indices and read
+    garbage rather than degrading predictably. Sanitize upstream if poses
+    can be degenerate."""
     assert padding_mode in ("zeros", "border"), padding_mode
     N, H, W, C4 = packed.shape
     C = C4 // 4
