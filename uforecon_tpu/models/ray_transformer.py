@@ -317,27 +317,52 @@ class RayTransformer(nn.Module):
 
     def _per_point_fused(self, img_feat, fea_volume_feat, sim_feat, pe_nv,
                          dir_relative, img_rgb, mask, rn, sn, nv):
-        """Dispatch the per-point stage to the fused Pallas kernel
-        (ops/fused_point_head.py); identical math to the flax path."""
-        from ..ops.fused_point_head import (PointHeadInputs, PointHeadParams,
-                                            point_head)
+        """Dispatch the per-point stage to a fused Pallas kernel; identical
+        math to the flax path.  Two layouts exist: v1 (feature-major (C, P)
+        slabs, host-side transposes) and v2 (point-major (NV, P, C), the raw
+        gather-output layout).  v1 measures faster end-to-end on v5e
+        (29.5k vs 26.0k rays/s): the dense-lane transposes cost less than
+        the lane-padded small-C loads v2 does in-kernel.  UFO_POINT_HEAD=v2
+        selects the point-major kernel for re-measurement."""
+        import os
+
+        from ..ops.fused_point_head import PointHeadParams
 
         n = rn * sn
+        use_v2 = os.environ.get("UFO_POINT_HEAD", "v1") == "v2"
 
-        # feature-major (C, P) inputs: dense-lane host transposes beat
-        # lane-padded point-major loads + in-VMEM relayouts (measured)
-        def tr(a):  # (NV, RN, SN, C) -> (NV, C, P)
-            return a.reshape(nv, n, a.shape[-1]).transpose(0, 2, 1)
+        if use_v2:
+            from ..ops.fused_point_head2 import PointHeadInputs2, point_head2
 
-        inp = PointHeadInputs(
-            img_feat=tr(img_feat),
-            vol_feat=fea_volume_feat.reshape(n, -1).T,
-            sim_feat=sim_feat.reshape(n, -1).T,
-            pe_depth=tr(pe_nv),
-            dir_rel=tr(dir_relative),
-            rgb=tr(img_rgb),
-            mask=mask.reshape(nv, n),
-        )
+            def rs(a):  # (NV, RN, SN, C) -> (NV, P, C)
+                return a.reshape(nv, n, a.shape[-1])
+
+            inp = PointHeadInputs2(
+                img_feat=rs(img_feat),
+                vol_feat=fea_volume_feat.reshape(n, -1),
+                sim_feat=sim_feat.reshape(n, -1),
+                pe_depth=rs(pe_nv),
+                dir_rel=rs(dir_relative),
+                rgb=rs(img_rgb),
+                mask=mask.reshape(nv, n),
+            )
+            head = point_head2
+        else:
+            from ..ops.fused_point_head import PointHeadInputs, point_head
+
+            def tr(a):  # (NV, RN, SN, C) -> (NV, C, P)
+                return a.reshape(nv, n, a.shape[-1]).transpose(0, 2, 1)
+
+            inp = PointHeadInputs(
+                img_feat=tr(img_feat),
+                vol_feat=fea_volume_feat.reshape(n, -1).T,
+                sim_feat=sim_feat.reshape(n, -1).T,
+                pe_depth=tr(pe_nv),
+                dir_rel=tr(dir_relative),
+                rgb=tr(img_rgb),
+                mask=mask.reshape(nv, n),
+            )
+            head = point_head
         lv = self.density_view_transformer.variables["params"]["layer_0"]
         sp = self.pre_sim_mlp.variables["params"]
         rp = self.linear_radianceweight_1_softmax.variables["params"]
@@ -357,10 +382,12 @@ class RayTransformer(nn.Module):
             rad_b=(rp["Dense_0"]["bias"], rp["Dense_1"]["bias"],
                    rp["Dense_2"]["bias"]),
         )
-        token, rad = point_head(inp, params, self.n_heads)
+        token, rad = head(inp, params, self.n_heads)
+        if not use_v2:
+            token, rad = token.T, rad.T
         return {
-            "token": token.T.reshape(rn, sn, -1),
-            "radiance": rad.T.reshape(rn, sn, 3),
+            "token": token.reshape(rn, sn, -1),
+            "radiance": rad.reshape(rn, sn, 3),
         }
 
     def along_ray(self, token: jnp.ndarray) -> jnp.ndarray:
@@ -382,8 +409,37 @@ class RayTransformer(nn.Module):
             [token, jnp.broadcast_to(pe_order[None], (rn, sn, self.pe_d_hid))],
             axis=-1,
         )
+        if self._fused_ray_ok():
+            return self._along_ray_fused(y)
         y = self.density_ray_transformer(y)
         return self.density_mlp(y)[..., 0]
+
+    def _fused_ray_ok(self) -> bool:
+        """Route along_ray to the fused Pallas kernel? Static per trace."""
+        if self.fused == "never" or self.is_initializing():
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        return self.fused == "always" or jax.default_backend() == "tpu"
+
+    def _along_ray_fused(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Dispatch along_ray to ops/fused_ray_head.py; identical math."""
+        from ..ops.fused_ray_head import RayHeadParams, ray_head
+
+        lv = self.density_ray_transformer.variables["params"]["layer_0"]
+        dp = self.density_mlp.variables["params"]
+        params = RayHeadParams(
+            wq=lv["q_proj"]["kernel"], wk=lv["k_proj"]["kernel"],
+            wv=lv["v_proj"]["kernel"], wmerge=lv["merge"]["kernel"],
+            norm1_scale=lv["norm1"]["scale"], norm1_bias=lv["norm1"]["bias"],
+            w1=lv["mlp1"]["kernel"], w2=lv["mlp2"]["kernel"],
+            norm2_scale=lv["norm2"]["scale"], norm2_bias=lv["norm2"]["bias"],
+            dens_w=(dp["Dense_0"]["kernel"], dp["Dense_1"]["kernel"],
+                    dp["Dense_2"]["kernel"]),
+            dens_b=(dp["Dense_0"]["bias"], dp["Dense_1"]["bias"],
+                    dp["Dense_2"]["bias"]),
+        )
+        return ray_head(y.astype(jnp.float32), params, self.n_heads)
 
     def __call__(self, *args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Full forward (reference RayTransformer.forward): per-point stage

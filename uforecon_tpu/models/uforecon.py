@@ -258,18 +258,24 @@ class UFORecon(nn.Module):
         pp_f = self._point_features(scene, enc, points_f)
         z_cat = jnp.concatenate([z_val, z2], axis=1)
         order = jnp.argsort(z_cat, axis=1)
-        z_all = jnp.take_along_axis(z_cat, order, axis=1,
-                                    mode="promise_in_bounds")
-        # permute token||radiance as ONE gather row (gather cost is per row)
+        # apply the sort permutation as a dense one-hot MXU contraction over
+        # the (SN+PN)=128 sample axis: ~10x cheaper than a scattered row
+        # gather, and exact (0/1 products, single-nonzero f32 sums). z rides
+        # along as one extra channel of the same contraction.
         d_tok = pp_c["token"].shape[-1]
         cat = jnp.concatenate(
-            [jnp.concatenate([pp_c["token"], pp_c["radiance"]], axis=-1),
-             jnp.concatenate([pp_f["token"], pp_f["radiance"]], axis=-1)],
+            [jnp.concatenate(
+                [pp_c["token"], pp_c["radiance"], z_val[..., None]], axis=-1),
+             jnp.concatenate(
+                 [pp_f["token"], pp_f["radiance"], z2[..., None]], axis=-1)],
             axis=1,
         )
-        cat = jnp.take_along_axis(cat, order[..., None], axis=1,
-                                  mode="promise_in_bounds")
-        pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:]}
+        sn_all = cat.shape[1]
+        onehot = (order[..., None] == jnp.arange(sn_all)[None, None, :]
+                  ).astype(cat.dtype)                       # (RN, SNall, SNall)
+        cat = jnp.einsum("rij,rjc->ric", onehot, cat)
+        z_all = cat[..., -1]
+        pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:-1]}
         out_f = self._render_sequence(z_all, pp_all)
         return {"coarse": out_c, "fine": out_f}
 

@@ -1,0 +1,231 @@
+"""Fused along-ray SRDF head — Pallas TPU kernel.
+
+The render loop's along-ray stage (reference ray_transformer.py:135-150 +
+attention/transformer.py:7-58: one LoFTR linear-attention layer over the
+sample axis followed by the 3-layer density MLP) runs on (RN, SN, 96)
+sequences. As separate XLA ops it spends more time on layout flips of the
+(B, L, H, D) attention tensors than on math.
+
+This kernel is POINT-MAJOR: a block holds R_BLK rays x SN samples on
+sublanes with the 96 features on lanes — exactly the layout the renderer
+already produces, so there are no host-side transposes at all. All
+projections are flat (R_BLK*SN, C) @ (C, C') MXU matmuls; the per-ray
+linear attention is two 2D dots per ray with a static block-diagonal head
+mask (full (96, 96) outer products cost one MXU pass each; masking after
+is cheaper than 8 tiny per-head dots).
+
+Math is identical to the flax path (``ray_head_reference``, asserted in
+tests): phi(x)=elu(x)+1 linear attention with eps 1e-6, LoFTR post-concat
+encoder layer, flax LayerNorm (eps 1e-6), Dense-bias density MLP.
+
+Backward re-derives gradients from the reference implementation via
+``jax.vjp`` (the kernel is inference-hot), so autodiff stays exact.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-6      # linear attention denominator (linear_attention.py:46)
+_LN_EPS = 1e-6   # flax LayerNorm default epsilon
+_BLK_PTS = 1024  # points per program (R_BLK = _BLK_PTS // SN rays)
+
+
+class RayHeadParams(NamedTuple):
+    """Weights of the along-ray stage, flax (in, out) orientation, f32."""
+
+    wq: jnp.ndarray              # (C, C) no bias
+    wk: jnp.ndarray
+    wv: jnp.ndarray
+    wmerge: jnp.ndarray
+    norm1_scale: jnp.ndarray     # (C,)
+    norm1_bias: jnp.ndarray
+    w1: jnp.ndarray              # (2C, 2C)
+    w2: jnp.ndarray              # (2C, C)
+    norm2_scale: jnp.ndarray
+    norm2_bias: jnp.ndarray
+    dens_w: Tuple[jnp.ndarray, ...]  # ((C,32),(32,16),(16,1))
+    dens_b: Tuple[jnp.ndarray, ...]  # ((32,),(16,),(1,))
+
+
+def _phi(x):
+    # elu(x) + 1 without expm1 (not lowered by Pallas TPU)
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _ln_lanes(x, scale, bias):
+    """LayerNorm over the LANE (feature) axis of (P, C); flax semantics."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=1, keepdims=True) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    return (x - mean) * inv * scale[None, :] + bias[None, :]
+
+
+def _kernel(r_blk, sn, c, n_heads,
+            y_ref,
+            wq, wk, wv, wm, n1s, n1b, w1a, w1b, w2, n2s, n2b,
+            dw0, db0, dw1, db1, dw2, db2,
+            srdf_out):
+    f32 = jnp.float32
+    p = r_blk * sn
+    dk = c // n_heads
+
+    def mm(x, w_ref):
+        # (P, C_in) @ (C_in, C_out)
+        return jax.lax.dot_general(
+            x, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    flat = y_ref[:].reshape(p, c)
+    q = mm(flat, wq)
+    k = mm(flat, wk)
+    v = mm(flat, wv)
+    qf = _phi(q)
+    kf = _phi(k)
+
+    # static block-diagonal head mask (96x96): same-head feature pairs
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // dk
+    hj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // dk
+    hmask = (hi == hj).astype(f32)
+
+    msgs = []
+    for r in range(r_blk):
+        s0 = r * sn
+        qf_r = jax.lax.slice(qf, (s0, 0), (s0 + sn, c))
+        kf_r = jax.lax.slice(kf, (s0, 0), (s0 + sn, c))
+        v_r = jax.lax.slice(v, (s0, 0), (s0 + sn, c))
+        # KV = sum_s kf_s (x) v_s per head: full outer product + head mask
+        kv = jax.lax.dot_general(
+            kf_r, v_r, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                     # (C, C)
+        ksum = jnp.sum(kf_r, axis=0)                        # (C,)
+        num = jax.lax.dot_general(
+            qf_r, kv * hmask, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                     # (SN, C)
+        den = jax.lax.dot_general(
+            qf_r, ksum[:, None] * hmask, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                     # (SN, C)
+        msgs.append(num / (den + _EPS))
+    att = jnp.concatenate(msgs, axis=0)                     # (P, C)
+
+    msg = _ln_lanes(mm(att, wm), n1s[:], n1b[:])
+    # mlp1 over concat([y, msg]) via split weights (no lane concat)
+    h = jnp.maximum(mm(flat, w1a) + mm(msg, w1b), 0.0)      # (P, 2C)
+    m2 = _ln_lanes(mm(h, w2), n2s[:], n2b[:])
+    out = flat + m2                                         # (P, C)
+
+    d = jnp.maximum(mm(out, dw0) + db0[:][None, :], 0.0)
+    d = jnp.maximum(mm(d, dw1) + db1[:][None, :], 0.0)
+    srdf = mm(d, dw2) + db2[:][None, :]                     # (P, 1)
+    srdf_out[:] = srdf.reshape(r_blk, sn)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def ray_head_fused(y: jnp.ndarray, p: RayHeadParams,
+                   n_heads: int = 8) -> jnp.ndarray:
+    """Fused forward: y (RN, SN, C) z-sorted sequences -> srdf (RN, SN)."""
+    rn, sn, c = y.shape
+    r_blk = max(1, _BLK_PTS // sn)
+    pad = (-rn) % r_blk
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0), (0, 0)))
+    rn_p = rn + pad
+    grid = (rn_p // r_blk,)
+
+    f32 = jnp.float32
+    c2 = 2 * c
+    weights = [
+        p.wq.astype(f32), p.wk.astype(f32), p.wv.astype(f32),
+        p.wmerge.astype(f32),
+        p.norm1_scale.astype(f32), p.norm1_bias.astype(f32),
+        p.w1[:c].astype(f32), p.w1[c:].astype(f32), p.w2.astype(f32),
+        p.norm2_scale.astype(f32), p.norm2_bias.astype(f32),
+        p.dens_w[0].astype(f32), p.dens_b[0].astype(f32),
+        p.dens_w[1].astype(f32), p.dens_b[1].astype(f32),
+        p.dens_w[2].astype(f32), p.dens_b[2].astype(f32),
+    ]
+
+    def wspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    srdf = pl.pallas_call(
+        functools.partial(_kernel, r_blk, sn, c, n_heads),
+        out_shape=jax.ShapeDtypeStruct((rn_p, sn), f32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((r_blk, sn, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [wspec(w.shape) for w in weights],
+        out_specs=pl.BlockSpec((r_blk, sn), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(y, *weights)
+    return srdf[:rn]
+
+
+def ray_head_reference(y: jnp.ndarray, p: RayHeadParams,
+                       n_heads: int = 8) -> jnp.ndarray:
+    """Pure-JAX forward, bit-matching the flax along-ray path; used for the
+    backward pass and parity tests."""
+    rn, sn, c = y.shape
+    dk = c // n_heads
+
+    q = y @ p.wq
+    k = y @ p.wk
+    v = y @ p.wv
+    qf = jax.nn.elu(q) + 1.0
+    kf = jax.nn.elu(k) + 1.0
+    qf = qf.reshape(rn, sn, n_heads, dk)
+    kf = kf.reshape(rn, sn, n_heads, dk)
+    vh = v.reshape(rn, sn, n_heads, dk)
+    kv = jnp.einsum("bshd,bshm->bhmd", kf, vh)
+    den = jnp.einsum("blhd,bhd->blh", qf, kf.sum(axis=1)) + _EPS
+    att = jnp.einsum("blhd,bhmd->blhm", qf, kv) / den[..., None]
+    att = att.reshape(rn, sn, c)
+
+    msg = att @ p.wmerge
+    mean = jnp.mean(msg, axis=-1, keepdims=True)
+    var = jnp.var(msg, axis=-1, keepdims=True)
+    msg = ((msg - mean) * jax.lax.rsqrt(var + _LN_EPS)
+           * p.norm1_scale + p.norm1_bias)
+    h = jnp.maximum(jnp.concatenate([y, msg], axis=-1) @ p.w1, 0.0)
+    m2 = h @ p.w2
+    mean = jnp.mean(m2, axis=-1, keepdims=True)
+    var = jnp.var(m2, axis=-1, keepdims=True)
+    m2 = ((m2 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+          * p.norm2_scale + p.norm2_bias)
+    out = y + m2
+
+    d = jnp.maximum(out @ p.dens_w[0] + p.dens_b[0], 0.0)
+    d = jnp.maximum(d @ p.dens_w[1] + p.dens_b[1], 0.0)
+    return (d @ p.dens_w[2] + p.dens_b[2])[..., 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def ray_head(y: jnp.ndarray, p: RayHeadParams, n_heads: int = 8):
+    """Along-ray SRDF head. Fused Pallas forward; exact reference backward."""
+    return ray_head_fused(y, p, n_heads)
+
+
+def _rh_fwd(y, p, n_heads):
+    return ray_head_fused(y, p, n_heads), (y, p)
+
+
+def _rh_bwd(n_heads, res, g):
+    y, p = res
+    _, vjp = jax.vjp(lambda yy, pp: ray_head_reference(yy, pp, n_heads), y, p)
+    return vjp(g)
+
+
+ray_head.defvjp(_rh_fwd, _rh_bwd)
