@@ -17,6 +17,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound on this
+# single-core CPU (tiny shapes, big programs, recompiled every run).
+# First run populates ~/.cache/uforecon_tpu_xla; re-runs hit the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/uforecon_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 
