@@ -26,7 +26,7 @@ def test_model_encode_and_render(rng):
     rn = 16
     ray_d = extras["ray_d"][:rn]
 
-    variables = model.init(key, scene, ray_d, key)
+    variables = jax.jit(model.init)(key, scene, ray_d, key)
     out = model.apply(variables, scene, ray_d, key)
 
     for phase in ("coarse", "fine"):

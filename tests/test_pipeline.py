@@ -40,7 +40,7 @@ def test_sharded_render_matches_single_device(rng):
     scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, scene, extras["ray_d"][:8], key)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
 
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest must force an 8-device CPU mesh"
@@ -71,7 +71,7 @@ def test_render_depth_view_shapes(rng):
     scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, scene, extras["ray_d"][:8], key)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
 
     extras = dict(extras)
     extras["cam_ray_d"] = np.tile(
@@ -98,7 +98,7 @@ def test_extract_similarity_field(rng):
     scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=16)
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, scene, extras["ray_d"][:8], key)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
 
     field = extract_similarity_field(cfg, variables, scene, reso=16,
                                      chunk=2048)
@@ -126,7 +126,7 @@ def test_sharded_train_grads_match_single_device(rng):
     scene, extras = make_synthetic_scene(n_views=2, h=32, w=32, ndepth=16)
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, scene, extras["ray_d"][:8], key)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:8], key)
     state = create_train_state(cfg, variables)
     grad_step = make_grad_step(cfg, model)
 
