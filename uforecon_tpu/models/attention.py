@@ -114,20 +114,28 @@ class LoFTREncoderLayer(nn.Module):
         h = self.n_heads
         dk = self.d_model // h
 
-        q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="k_proj")(source)
-        v = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="v_proj")(source)
+        # HIGHEST matmuls: the reference computes f32 (torch 1.13 matmul
+        # tf32 off); TPU default precision would round inputs to bf16, and
+        # the fused Pallas kernels mirror these layers at HIGHEST — keeping
+        # both paths at true f32 keeps forward (kernel) and backward
+        # (this module via the reference VJP) consistent.
+        hp = jax.lax.Precision.HIGHEST
+        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         precision=hp, name=name)
+        q = dense(self.d_model, "q_proj")(x)
+        k = dense(self.d_model, "k_proj")(source)
+        v = dense(self.d_model, "v_proj")(source)
         attn = linear_attention if self.attention == "linear" else full_attention
         msg = attn(
             q.reshape(b, l, h, dk), k.reshape(b, s, h, dk), v.reshape(b, s, h, dk)
         ).reshape(b, l, self.d_model)
-        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = dense(self.d_model, "merge")(msg)
         msg = nn.LayerNorm(dtype=jnp.float32, name="norm1")(msg)
 
         msg = jnp.concatenate([x, msg], axis=-1)
-        msg = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype, name="mlp1")(msg)
+        msg = dense(2 * self.d_model, "mlp1")(msg)
         msg = nn.relu(msg)
-        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="mlp2")(msg)
+        msg = dense(self.d_model, "mlp2")(msg)
         msg = nn.LayerNorm(dtype=jnp.float32, name="norm2")(msg)
         return x + msg
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -138,8 +139,12 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # HIGHEST: true-f32 matmuls (torch 1.13 disables tf32 for matmul, so
+        # the reference computes f32; TPU default would round inputs to bf16
+        # — enough to destabilize SRDF training through exp(10s) scaling)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, dtype=self.dtype)(x)
+            x = nn.Dense(f, dtype=self.dtype,
+                         precision=jax.lax.Precision.HIGHEST)(x)
             if i < len(self.features) - 1:
                 x = nn.relu(x)
         return x

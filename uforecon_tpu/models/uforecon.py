@@ -273,7 +273,10 @@ class UFORecon(nn.Module):
         sn_all = cat.shape[1]
         onehot = (order[..., None] == jnp.arange(sn_all)[None, None, :]
                   ).astype(cat.dtype)                       # (RN, SNall, SNall)
-        cat = jnp.einsum("rij,rjc->ric", onehot, cat)
+        # HIGHEST keeps the permutation exact: TPU default precision would
+        # round the token/z data to bf16 on the MXU
+        cat = jnp.einsum("rij,rjc->ric", onehot, cat,
+                         precision=jax.lax.Precision.HIGHEST)
         z_all = cat[..., -1]
         pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:-1]}
         out_f = self._render_sequence(z_all, pp_all)

@@ -107,10 +107,13 @@ def _kernel(nv, c, n_heads,
     f32 = jnp.float32
 
     def mm(w_ref, x):
-        # (C_out, C_in) @ (C_in, BLK)
+        # (C_out, C_in) @ (C_in, BLK). HIGHEST: true-f32 passes, matching
+        # the reference-VJP backward (default precision rounds to bf16 and
+        # de-syncs forward from backward — see fused_ray_head.py).
         return jax.lax.dot_general(
             w_ref[:], x, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
 
     # pre-similarity MLP (per point, broadcast to views afterwards)
     s = jnp.maximum(mm(sw0, sim_ref[:]) + sb0[:][:, None], 0.0)
@@ -245,7 +248,13 @@ def point_head_reference(inp: PointHeadInputs, p: PointHeadParams,
                          n_heads: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-JAX forward, bit-matching the flax module path; used for the
     backward pass and for parity tests. Feature-major in/out like the
-    kernel."""
+    kernel. True-f32 matmuls to match the HIGHEST-precision fused forward
+    (see fused_ray_head.py)."""
+    with jax.default_matmul_precision("float32"):
+        return _point_head_reference_impl(inp, p, n_heads)
+
+
+def _point_head_reference_impl(inp, p, n_heads):
     nv, c_img, n = inp.img_feat.shape
     c = p.view_token.shape[-1]
 

@@ -80,9 +80,11 @@ def _kernel(nv, c, n_heads, ci, cv, cs, cp,
     f32 = jnp.float32
 
     def mm(x, w_ref):
+        # HIGHEST: true-f32 passes (see fused_point_head.py)
         return jax.lax.dot_general(
             x, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
 
     # pre-similarity MLP (shared across views)
     s = jnp.maximum(mm(sim_ref[:], sw0) + sb0[:][None, :], 0.0)

@@ -75,11 +75,17 @@ def _kernel(r_blk, sn, c, n_heads,
     p = r_blk * sn
     dk = c // n_heads
 
+    # HIGHEST: true-f32 MXU passes. Default precision rounds dot inputs to
+    # bf16; the SRDF feeds exp(10s)-scaled NeuS sigmoids, where ~0.3%
+    # forward error vs the HIGHEST-precision reference VJP backward was
+    # measured to destabilize render training.
+    hp = jax.lax.Precision.HIGHEST
+
     def mm(x, w_ref):
         # (P, C_in) @ (C_in, C_out)
         return jax.lax.dot_general(
             x, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32, precision=hp)
 
     flat = y_ref[:].reshape(p, c)
     q = mm(flat, wq)
@@ -102,14 +108,14 @@ def _kernel(r_blk, sn, c, n_heads,
         # KV = sum_s kf_s (x) v_s per head: full outer product + head mask
         kv = jax.lax.dot_general(
             kf_r, v_r, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                     # (C, C)
+            preferred_element_type=f32, precision=hp)       # (C, C)
         ksum = jnp.sum(kf_r, axis=0)                        # (C,)
         num = jax.lax.dot_general(
             qf_r, kv * hmask, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)                     # (SN, C)
+            preferred_element_type=f32, precision=hp)       # (SN, C)
         den = jax.lax.dot_general(
             qf_r, ksum[:, None] * hmask, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)                     # (SN, C)
+            preferred_element_type=f32, precision=hp)       # (SN, C)
         msgs.append(num / (den + _EPS))
     att = jnp.concatenate(msgs, axis=0)                     # (P, C)
 
@@ -177,7 +183,14 @@ def ray_head_fused(y: jnp.ndarray, p: RayHeadParams,
 def ray_head_reference(y: jnp.ndarray, p: RayHeadParams,
                        n_heads: int = 8) -> jnp.ndarray:
     """Pure-JAX forward, bit-matching the flax along-ray path; used for the
-    backward pass and parity tests."""
+    backward pass and parity tests. True-f32 matmuls: the VJP of this
+    function is the training backward, which must match the HIGHEST-
+    precision fused forward (TPU default would round inputs to bf16)."""
+    with jax.default_matmul_precision("float32"):
+        return _ray_head_reference_impl(y, p, n_heads)
+
+
+def _ray_head_reference_impl(y, p, n_heads):
     rn, sn, c = y.shape
     dk = c // n_heads
 
