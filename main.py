@@ -33,6 +33,7 @@ def run_extract(cfg):
             root_dir=cfg.root_dir, scan_id=cfg.test_scan,
             n_views=cfg.test_n_view, dataset=cfg.dataset,
             use_mask=cfg.use_mask, test_ref_view=list(cfg.test_ref_view) or None,
+            img_wh=cfg.img_wh or None,
         ))
     else:
         from uforecon_tpu.data.dtu_test import DtuFitSparse

@@ -14,3 +14,16 @@ Layout conventions (TPU-first, differs from the torch reference on purpose):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("UFO_PLATFORM"):
+    # Force a JAX platform before any backend initializes. The JAX_PLATFORMS
+    # env var is not reliable here: site hooks that pre-register accelerator
+    # plugins can override it, and a dead accelerator tunnel then hangs every
+    # process at first device query. jax.config.update always wins as long as
+    # it runs before the first computation — importing this package is the
+    # common entry for every CLI.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["UFO_PLATFORM"])

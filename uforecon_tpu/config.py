@@ -66,6 +66,10 @@ class Config:
     set: int = 0
     test_coarse_only: bool = False
     test_dir: str = ""
+    # TPU-port extension (no reference equivalent): override the dataset's
+    # fixed render resolution (GeneralFit 768x576 / 960x544). Lets the full
+    # CLI pipeline run at small sizes, e.g. on a CPU-only host.
+    img_wh: Tuple[int, ...] = ()
     extract_similarity: bool = False     # debug: mean-similarity iso-surface
     sim_reso: int = 128
     sim_threshold: float = 0.99
@@ -190,6 +194,8 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     p.add_argument("--test_ray_num", type=int, default=dflt.test_ray_num)
     p.add_argument("--test_ref_view", type=int, nargs="+", default=list(dflt.test_ref_view))
     p.add_argument("--test_scan", type=str, default=dflt.test_scan)
+    p.add_argument("--img_wh", type=int, nargs=2, default=[],
+                   help="extension: override dataset render resolution W H")
     p.add_argument("--set", type=int, default=dflt.set)
     p.add_argument("--test_coarse_only", action="store_true")
     p.add_argument("--extract_similarity", action="store_true")
@@ -235,6 +241,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
         extract_geometry=a.extract_geometry, test_general=a.test_general,
         test_n_view=a.test_n_view, test_ray_num=a.test_ray_num,
         test_ref_view=tuple(a.test_ref_view), test_scan=a.test_scan, set=a.set,
+        img_wh=tuple(a.img_wh),
         test_coarse_only=a.test_coarse_only, test_dir=a.test_dir,
         extract_similarity=a.extract_similarity, sim_reso=a.sim_reso,
         sim_threshold=a.sim_threshold, train_list=a.train_list,

@@ -31,6 +31,7 @@ class GeneralFit:
         use_mask: bool = False,
         ndepths: int = 192,
         clip_wh: Sequence[int] = (0, 0),
+        img_wh: Optional[Sequence[int]] = None,
     ):
         self.root_dir = root_dir
         self.scan_id = scan_id
@@ -39,7 +40,12 @@ class GeneralFit:
         self.use_mask = use_mask
         self.ndepths = ndepths
         self.data_dir = os.path.join(root_dir, scan_id)
-        self.img_wh = [768, 576] if dataset == "blendedmvs" else [960, 544]
+        # reference sizes (general_fit.py:59-62); img_wh is a TPU-port
+        # extension to run the pipeline at other resolutions
+        if img_wh:
+            self.img_wh = list(img_wh)
+        else:
+            self.img_wh = [768, 576] if dataset == "blendedmvs" else [960, 544]
 
         pair_path = os.path.join(self.data_dir, "cams", "pair.txt")
         pairs = io.read_pair_file(pair_path)
