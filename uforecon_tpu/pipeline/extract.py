@@ -34,8 +34,10 @@ def save_depth_outputs(out_dir: str, scan: str, name: str,
     os.makedirs(os.path.join(out_dir, "rgb", scan), exist_ok=True)
     os.makedirs(os.path.join(out_dir, scan, "depth"), exist_ok=True)
 
-    dmax = max(float(depth_mm.max()), 1e-6)
-    dpng = ((depth_mm / dmax) * 255).astype(np.uint8)
+    # preview only — keep it robust to NaN/inf depths (e.g. random weights)
+    dvis = np.nan_to_num(depth_mm, nan=0.0, posinf=0.0, neginf=0.0)
+    dmax = max(float(dvis.max()), 1e-6)
+    dpng = np.clip((dvis / dmax) * 255, 0, 255).astype(np.uint8)
     Image.fromarray(dpng).save(os.path.join(out_dir, scan, "depth", f"{name}.png"))
     Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
         os.path.join(out_dir, "rgb", scan, f"{name}.jpg")
