@@ -41,10 +41,11 @@ def run_extract(cfg):
         scans = ([cfg.test_scan] if cfg.test_scan and cfg.test_scan != "scan1"
                  else [f"scan{s}" for s in TEST_SCANS])
         for scan in scans:
+            kw = {"img_wh": list(cfg.img_wh)} if cfg.img_wh else {}
             datasets.append(DtuFitSparse(
                 root_dir=cfg.root_dir, scan_id=scan,
                 n_views=cfg.test_n_view, set=cfg.set,
-                test_view_pair=list(cfg.test_ref_view),
+                test_view_pair=list(cfg.test_ref_view), **kw,
             ))
 
     variables = None

@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_point_head import (PointHeadInputs, PointHeadParams, _EPS,
-                               _LN_EPS, _ph_bwd, point_head_reference)
+                               _ph_bwd, point_head_reference)
+from .fused_ray_head import _ln_lanes, _phi, _use_interpret
 
 _BLK = 512
 
@@ -51,18 +52,7 @@ class PointHeadInputs2(NamedTuple):
     mask: jnp.ndarray       # (NV, P)
 
 
-def _phi(x):
-    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
-
-
-def _ln_lanes(x, scale, bias):
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(x), axis=1, keepdims=True) - jnp.square(mean)
-    inv = jax.lax.rsqrt(var + _LN_EPS)
-    return (x - mean) * inv * scale[None, :] + bias[None, :]
-
-
-def _kernel(nv, c, n_heads, ci, cv, cs, cp,
+def _kernel(nv, c, n_heads,
             img_ref, vol_ref, sim_ref, pe_ref, dir_ref, rgb_ref, mask_ref,
             tok_x, tok_qkv,
             wq_i, wq_v, wq_s, wq_p,
@@ -167,19 +157,13 @@ def _kernel(nv, c, n_heads, ci, cv, cs, cp,
     rad_out[:] = rad
 
 
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
                       n_heads: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused forward: returns (token (P, C), radiance (P, 3))."""
     nv, n, ci = inp.img_feat.shape
     cv = inp.vol_feat.shape[-1]
     cs = p.sim_w[2].shape[-1]
-    cp = inp.pe_depth.shape[-1]
     c = p.view_token.shape[-1]
-    c2 = 2 * c
     f32 = jnp.float32
 
     pad = (-n) % _BLK
@@ -214,9 +198,12 @@ def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
     def rows(w, a, b):
         return w[a:b]
 
-    tok_qkv = jnp.stack([tok @ wq, tok @ wk, tok @ wv])
+    # HIGHEST: these host-side token projections must keep the same
+    # true-f32 invariant as the in-kernel dots (TPU default rounds to bf16)
+    hp = jax.lax.Precision.HIGHEST
+    tok_qkv = jnp.stack([jnp.dot(tok, w, precision=hp) for w in (wq, wk, wv)])
     w1a = w1[:c]
-    w1a_tok = tok @ w1a                                    # (2C,)
+    w1a_tok = jnp.dot(tok, w1a, precision=hp)              # (2C,)
     r0 = p.rad_w[0].astype(f32)                            # (C+3, 16)
 
     weights = [
@@ -258,7 +245,7 @@ def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
                             memory_space=pltpu.VMEM)
 
     token, rad = pl.pallas_call(
-        functools.partial(_kernel, nv, c, n_heads, ci, cv, cs, cp),
+        functools.partial(_kernel, nv, c, n_heads),
         out_shape=[
             jax.ShapeDtypeStruct((np_, c), f32),
             jax.ShapeDtypeStruct((np_, 3), f32),
@@ -266,7 +253,7 @@ def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
         grid=grid,
         in_specs=[
             vspec(ci), pspec(cv), pspec(inp.sim_feat.shape[-1]),
-            vspec(cp), vspec(3), vspec(3), vspec(),
+            vspec(inp.pe_depth.shape[-1]), vspec(3), vspec(3), vspec(),
         ] + [wspec(w.shape) for w in weights],
         out_specs=[pspec(c), pspec(3)],
         interpret=_use_interpret(),

@@ -147,7 +147,6 @@ def ray_head_fused(y: jnp.ndarray, p: RayHeadParams,
     grid = (rn_p // r_blk,)
 
     f32 = jnp.float32
-    c2 = 2 * c
     weights = [
         p.wq.astype(f32), p.wk.astype(f32), p.wv.astype(f32),
         p.wmerge.astype(f32),

@@ -320,7 +320,9 @@ def fit(cfg: Config, train_ds=None, val_ds=None, variables=None,
     while step < total_steps:
         order = rng_np.permutation(len(train_ds))
         if max_steps:
-            order = order[: (max_steps - step) * batch]
+            # n_acc scenes already accumulated toward the next optimizer
+            # step carry over from the previous epoch — don't re-count them
+            order = order[: (max_steps - step) * batch - n_acc]
         for sample in _prefetch(train_ds, order, n_workers=n_workers):
             scene, extras = scene_inputs_from_sample(sample)
             if mesh is not None:
