@@ -108,3 +108,38 @@ def test_gmflow_sample_and_splits(rng):
     rgb = jnp.ones((2, 8, 12, 3))
     i0, i1 = normalize_img(rgb, rgb)
     assert np.isfinite(np.asarray(i0)).all()
+
+
+def test_sample_importance_one_hot_fetch_is_exact(rng):
+    """The dense one-hot bracketing fetch must be BIT-identical to scattered
+    take_along_axis gathers (0/1 products and single-nonzero sums are exact
+    f32 at HIGHEST precision — the property the rework relies on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uforecon_tpu.ops.sampling import sample_importance
+
+    rn, sn, pn = 13, 64, 32
+    ray_o = jnp.asarray(rng.standard_normal((rn, 3)).astype(np.float32))
+    ray_d = jnp.asarray(rng.standard_normal((rn, 3)).astype(np.float32))
+    weight = jnp.asarray(rng.random((rn, sn)).astype(np.float32)) ** 3
+    # DTU-scale z values in the hundreds: the regime where bf16 rounding of
+    # a default-precision contraction would show up as ~0.5 unit errors
+    z_val = jnp.sort(
+        425.0 + 480.0 * jnp.asarray(rng.random((rn, sn)).astype(np.float32)),
+        axis=1)
+    key = jax.random.PRNGKey(3)
+
+    _, z = sample_importance(key, ray_o, ray_d, weight, z_val, pn)
+
+    # naive reference: same math with scattered gathers
+    cdf = jnp.cumsum(weight, axis=1) / (jnp.sum(weight, axis=1, keepdims=True) + 1e-6)
+    u = jax.random.uniform(key, (rn, pn), z_val.dtype)
+    u = jnp.clip(u, cdf[:, 0:1], cdf[:, -1:])
+    idx = jnp.sum((cdf[:, None, :] < u[:, :, None]).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 1, sn - 1)
+    ta = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+    z_ref = (u - ta(cdf, idx - 1)) / (ta(cdf, idx) - ta(cdf, idx - 1) + 1e-6) \
+        * (ta(z_val, idx) - ta(z_val, idx - 1)) + ta(z_val, idx - 1)
+    z_ref = jnp.sort(z_ref, axis=1)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
