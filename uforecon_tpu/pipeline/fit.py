@@ -129,7 +129,7 @@ def run_validation(cfg: Config, model, state, val_ds, val_step,
         rn = cfg.train_ray_num
         # fixed chunking; pad final chunk by wrapping (stats-neutral)
         idx_all = np.arange(total)
-        rgbs, depths, logs_sum = [], [], {}
+        rgbs, depths, logs_all = [], [], []
         n_chunks = 0
         for s in range(0, total, rn):
             idx = idx_all[s:s + rn]
@@ -141,13 +141,16 @@ def run_validation(cfg: Config, model, state, val_ds, val_step,
                 state.params, state.batch_stats, scene, jnp.asarray(ray_d),
                 jnp.asarray(rgb_gt), jnp.asarray(depth_gt), sub)
             # keep everything on device until the image is assembled — a
-            # host fetch per chunk costs ~0.6s of round-trip on remote TPUs
+            # host fetch per chunk costs ~0.6s of round-trip on remote TPUs,
+            # and eager per-chunk adds each pay full dispatch overhead
             rgbs.append(rgb_f)
             depths.append(depth_f)
-            for k, v in logs.items():
-                logs_sum[k] = logs_sum.get(k, 0.0) + v
+            logs_all.append(logs)
             n_chunks += 1
-        logs_sum = {k: float(v) for k, v in logs_sum.items()}
+        sums = jax.jit(
+            lambda ls: {k: jnp.sum(jnp.stack([l[k] for l in ls]))
+                        for k in ls[0]})(logs_all)
+        logs_sum = {k: float(v) for k, v in jax.device_get(sums).items()}
         rgb_img = np.concatenate([np.asarray(r) for r in rgbs])[:total].reshape(h, w, 3)
         gt_img = extras["ref_img"].reshape(h, w, 3)
         p = float(psnr(jnp.asarray(rgb_img), jnp.asarray(gt_img)))
