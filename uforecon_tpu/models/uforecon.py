@@ -103,6 +103,12 @@ class UFORecon(nn.Module):
     # ------------------------------------------------------------------
     def encode(self, scene: SceneInputs, train: bool = False) -> EncoderOutputs:
         c = self.cfg
+        h, w = scene.source_imgs.shape[-3:-1]
+        # FPN strides (/4) x CostRegNet U-Net levels (/4 at stage 1) — every
+        # reference resolution satisfies this; fail with a message instead
+        # of an opaque broadcast error deep in the pathway
+        assert h % 16 == 0 and w % 16 == 0, (
+            f"image dims must be multiples of 16, got {h}x{w}")
         enc = self.matcher(
             scene.source_imgs, scene.proj_matrices, scene.depth_values, train
         )
