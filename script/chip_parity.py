@@ -1,0 +1,143 @@
+"""On-chip parity check: fused Pallas kernels vs the pure flax path.
+
+CPU interpret-mode tests can NEVER catch TPU matmul-precision bugs (the
+MXU rounds f32 dot inputs to bf16 at default precision; CPU ignores the
+precision flag entirely), so any change to the fused kernels or their
+precision setting must be re-validated ON THE CHIP at real shapes:
+
+    python script/chip_parity.py                   # forward + grads
+    UFO_KERNEL_PRECISION=high python script/chip_parity.py
+
+Runs one render chunk (default 1024 rays x 64+64 samples at 256x320,
+3 views — the real kernel block shapes) twice from identical params and
+inputs: fused_point_head='always' vs 'never', and compares
+
+  * coarse depth / rgb / opacity strictly (no discrete resampling between
+    the paths at this stage), and
+  * fine depth at p50/p99/max — a ~1e-6 forward difference can flip an
+    importance-CDF bin for isolated rays (discrete selection), which moves
+    those rays' fine samples legitimately; p99 is the stable observable
+    (see the tpu-matmul-precision-trap memory / BASELINE.md).
+  * parameter gradients of a train-style rgb+depth loss (the fused path's
+    custom VJP is the pure-JAX reference; this catches fwd/bwd precision
+    de-sync, the failure mode that diverged training in round 2). Gated on
+    the whole-tree L2 relative error: a de-sync perturbs gradients broadly,
+    while per-leaf max-relative error is cancellation-noise-dominated on
+    deep-U-Net bias leaves (measured 3.6% element noise at 1e-7 forward
+    parity on CPU, tree-L2 0.16%).
+
+Prints one JSON line; exit 1 on tolerance violation. Keep ONE process on
+the chip (axon tunnel).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=256)
+    ap.add_argument("--w", type=int, default=320)
+    ap.add_argument("--rays", type=int, default=1024)
+    ap.add_argument("--coarse", type=int, default=64)
+    ap.add_argument("--fine", type=int, default=64)
+    ap.add_argument("--skip_grads", action="store_true")
+    # both paths run true f32 at HIGHEST; 'high' adds ~1e-6 rel fwd error
+    prec = os.environ.get("UFO_KERNEL_PRECISION", "highest")
+    ap.add_argument("--tol_coarse", type=float,
+                    default=1e-4 if prec == "highest" else 3e-3)
+    ap.add_argument("--tol_fine_p99", type=float,
+                    default=1e-3 if prec == "highest" else 1e-2)
+    ap.add_argument("--tol_grad", type=float, default=5e-3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+
+    def cfg_for(fused):
+        return Config(test_sample_coarse=args.coarse,
+                      test_sample_fine=args.fine,
+                      coarse_sample=args.coarse, fine_sample=args.fine,
+                      volume_type="correlation", fused_point_head=fused)
+
+    scene, ray_d = _tiny_scene(n_views=3, h=args.h, w=args.w, ndepth=192)
+    rays = ray_d[:args.rays]
+    key = jax.random.PRNGKey(0)
+
+    model_ref = UFORecon(cfg_for("never"))
+    model_fused = UFORecon(cfg_for("always"))
+    variables = jax.jit(model_ref.init)(key, scene, rays[:64], key)
+
+    out_ref = jax.jit(model_ref.apply)(variables, scene, rays, key)
+    out_fused = jax.jit(model_fused.apply)(variables, scene, rays, key)
+
+    report = {"platform": jax.default_backend(), "precision": prec,
+              "rays": args.rays, "hw": [args.h, args.w]}
+    ok = True
+
+    def diff(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        d = np.abs(a - b) / (np.abs(b) + 1e-3)
+        return d
+
+    for k in ("depth", "rgb", "opacity"):
+        d = diff(out_fused["coarse"][k], out_ref["coarse"][k])
+        report[f"coarse_{k}_max"] = float(d.max())
+        ok &= bool(d.max() < args.tol_coarse)
+    d = diff(out_fused["fine"]["depth"], out_ref["fine"]["depth"])
+    report["fine_depth_p50"] = float(np.quantile(d, 0.5))
+    report["fine_depth_p99"] = float(np.quantile(d, 0.99))
+    report["fine_depth_max"] = float(d.max())
+    ok &= bool(report["fine_depth_p99"] < args.tol_fine_p99)
+    ok &= bool(np.isfinite(np.asarray(out_fused["fine"]["depth"])).all())
+
+    if not args.skip_grads:
+        def loss_fn(mdl):
+            def f(params):
+                out = mdl.apply({**variables, "params": params},
+                                scene, rays[:256], key)
+                return (jnp.mean(out["fine"]["rgb"]) +
+                        jnp.mean(out["fine"]["depth"]))
+            return f
+
+        g_ref = jax.jit(jax.grad(loss_fn(model_ref)))(variables["params"])
+        g_fused = jax.jit(jax.grad(loss_fn(model_fused)))(variables["params"])
+        # Gate on the whole-tree L2 relative error: a fwd/bwd precision
+        # de-sync (the round-2 failure mode) perturbs the gradient broadly,
+        # while per-leaf max-relative error is noise-dominated on deep-U-Net
+        # BIAS leaves (grads are sums over ~1e5 spatial positions with heavy
+        # cancellation — measured 3.6% element noise at 1e-7 forward parity).
+        # Per-leaf numbers are reported as diagnostics only.
+        num = den = 0.0
+        leaf_rel = []
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_fused),
+                jax.tree_util.tree_leaves_with_path(g_ref)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            num += float(np.sum((a - b) ** 2))
+            den += float(np.sum(b ** 2))
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            leaf_rel.append(
+                (float(np.abs(a - b).max() / (np.abs(b).max() + 1e-6)), name))
+        leaf_rel.sort(reverse=True)
+        report["grad_tree_rel_l2"] = float(np.sqrt(num / max(den, 1e-30)))
+        report["grad_worst_leaves"] = [
+            {"leaf": n, "max_rel": r} for r, n in leaf_rel[:3]]
+        ok &= report["grad_tree_rel_l2"] < args.tol_grad
+
+    report["ok"] = bool(ok)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_precision import FORWARD_PRECISION
+
 _EPS = 1e-6      # linear attention denominator (linear_attention.py:46)
 _LN_EPS = 1e-6   # flax LayerNorm default epsilon
 _BLK_PTS = 1024  # points per program (R_BLK = _BLK_PTS // SN rays)
@@ -75,11 +77,12 @@ def _kernel(r_blk, sn, c, n_heads,
     p = r_blk * sn
     dk = c // n_heads
 
-    # HIGHEST: true-f32 MXU passes. Default precision rounds dot inputs to
-    # bf16; the SRDF feeds exp(10s)-scaled NeuS sigmoids, where ~0.3%
-    # forward error vs the HIGHEST-precision reference VJP backward was
-    # measured to destabilize render training.
-    hp = jax.lax.Precision.HIGHEST
+    # Default-HIGHEST true-f32 MXU passes. Default precision rounds dot
+    # inputs to bf16; the SRDF feeds exp(10s)-scaled NeuS sigmoids, where
+    # ~0.3% forward error vs the HIGHEST-precision reference VJP backward
+    # was measured to destabilize render training. UFO_KERNEL_PRECISION=high
+    # selects bf16x3 (~1e-6 error; see kernel_precision.py).
+    hp = FORWARD_PRECISION
 
     def mm(x, w_ref):
         # (P, C_in) @ (C_in, C_out)
