@@ -38,6 +38,11 @@ def test_fused_matches_flax_forward():
     cfg, model, scene, ray_d = _setup("never")
     variables = jax.jit(model.init)(key, scene, ray_d[:4], key)
 
+    # eager on purpose: under jit the ref and fused programs fuse
+    # differently, and a ~1e-7 projection difference can flip an
+    # in-bounds radiance mask on a boundary ray (0.07 rgb jump) — eager
+    # keeps the shared math bit-identical so the comparison isolates the
+    # kernel itself
     out_ref = model.apply(variables, scene, ray_d, key)
 
     cfg2, model2, _, _ = _setup("always")
@@ -66,8 +71,8 @@ def test_fused_grads_match_flax():
                     jnp.mean(out["fine"]["depth"]))
         return f
 
-    g_ref = jax.grad(loss(model))(variables["params"])
-    g_fused = jax.grad(loss(model_f))(variables["params"])
+    g_ref = jax.jit(jax.grad(loss(model)))(variables["params"])
+    g_fused = jax.jit(jax.grad(loss(model_f)))(variables["params"])
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_fused = dict(jax.tree_util.tree_leaves_with_path(g_fused))

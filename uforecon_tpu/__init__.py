@@ -27,3 +27,17 @@ if _os.environ.get("UFO_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["UFO_PLATFORM"])
+
+if not _os.environ.get("UFO_NO_COMPILE_CACHE"):
+    # Persistent XLA compilation cache for every CLI entry: first compile of
+    # the full render program is 60-110s on the chip (and minutes on the
+    # 1-core CPU fallback); the cache is keyed on HLO + compiler version, so
+    # re-runs of the same shapes skip it entirely. Opt out via env.
+    import jax as _jax2
+
+    _jax2.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/uforecon_tpu_xla")))
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax2.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
