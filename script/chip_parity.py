@@ -64,10 +64,14 @@ def main():
     from uforecon_tpu.models.uforecon import UFORecon
 
     def cfg_for(fused):
+        # 'always' turns on EVERY fused render kernel (point head, ray
+        # head via fused_point_head's routing, grouped cosine, view
+        # fusion) vs the pure-XLA 'never' path
         return Config(test_sample_coarse=args.coarse,
                       test_sample_fine=args.fine,
                       coarse_sample=args.coarse, fine_sample=args.fine,
-                      volume_type="correlation", fused_point_head=fused)
+                      volume_type="correlation", fused_point_head=fused,
+                      fused_similarity=fused, fused_volume_fusion=fused)
 
     scene, ray_d = _tiny_scene(n_views=3, h=args.h, w=args.w, ndepth=192)
     rays = ray_d[:args.rays]

@@ -91,15 +91,15 @@ def test_chunked_backward_matches_direct(monkeypatch, rng):
     from uforecon_tpu.ops import fused_point_head as fph
 
     nv, c_img, n = 3, 8, 50
-    c = 8 + 6 + 4 + 2  # img + vol + sim16(4) + pe -> small C for speed
+    c = 8 + 4 + 4 + 8  # img + vol + sim16(4) + the in-kernel NeRF PE's 8
     key = jax.random.PRNGKey(1)
 
     def r(*shape):
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
     inp = fph.PointHeadInputs(
-        img_feat=r(nv, 8, n), vol_feat=r(6, n), sim_feat=r(8, n),
-        pe_depth=r(nv, 2, n), dir_rel=r(nv, 3, n), rgb=r(nv, 3, n),
+        img_feat=r(nv, 8, n), vol_feat=r(4, n), sim_feat=r(8, n),
+        depth_dist=r(nv, n), dir_rel=r(nv, 3, n), rgb=r(nv, 3, n),
         mask=jnp.ones((nv, n)),
     )
     p = fph.PointHeadParams(
@@ -128,6 +128,7 @@ def test_chunked_backward_matches_direct(monkeypatch, rng):
     g_chunked = jax.grad(loss_fused, argnums=(0, 1))(inp, p)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_chunked)):
-        # segment accumulation reorders float sums vs the single vjp
+        # segment accumulation reorders float sums vs the single vjp; the
+        # depth-PE chain rule multiplies that noise by up to 8*pi
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-3, atol=1e-4)
+                                   rtol=2e-3, atol=5e-4)

@@ -14,7 +14,7 @@ from uforecon_tpu.ops import fused_point_head2 as fph2
 
 
 def _make(rng, nv=3, n=37):
-    c_img, c_vol, c_pe = 8, 6, 2
+    c_img, c_vol, c_pe = 8, 4, 8  # pe width is the in-kernel NeRF PE's 8
     c = c_img + c_vol + 4 + c_pe  # sim16 width shrunk to 4 for speed
 
     def r(*shape):
@@ -22,7 +22,7 @@ def _make(rng, nv=3, n=37):
 
     inp = fph2.PointHeadInputs2(
         img_feat=r(nv, n, c_img), vol_feat=r(n, c_vol), sim_feat=r(n, 8),
-        pe_depth=r(nv, n, c_pe), dir_rel=r(nv, n, 3), rgb=r(nv, n, 3),
+        depth_dist=r(nv, n), dir_rel=r(nv, n, 3), rgb=r(nv, n, 3),
         mask=jnp.asarray(rng.integers(0, 2, (nv, n)).astype(np.float32)),
     )
     p = fph.PointHeadParams(

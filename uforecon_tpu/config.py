@@ -107,6 +107,8 @@ class Config:
     # ---- TPU execution ------------------------------------------------
     compute_dtype: str = "float32"       # float32 | bfloat16 for network matmuls
     fused_point_head: str = "auto"       # auto | always | never (Pallas per-point head)
+    fused_similarity: str = "auto"       # auto | always | never (Pallas grouped cosine)
+    fused_volume_fusion: str = "auto"    # auto | always | never (Pallas view fusion)
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 

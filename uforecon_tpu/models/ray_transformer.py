@@ -33,6 +33,7 @@ def query_correlation_volume(
     source_poses: jnp.ndarray,           # (NV, 4, 4) NDC projections
     volumes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
     near_far: Tuple[jnp.ndarray, jnp.ndarray],
+    fused: str = "auto",
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
 
@@ -41,6 +42,11 @@ def query_correlation_volume(
     normalized to [-1,1] by the scene near/far). Features from all stages are
     concatenated (8ch x 3 = 24) and fused across views by the summed stage
     weights: G = sum_n f_n w_n / sum_n w_n.
+
+    ``fused`` routes the cross-view weighted fusion to a Pallas kernel
+    that consumes the per-stage samples point-major in one pass
+    (ops/fused_volume_fusion.py): 'auto' = on TPU, 'never' = the XLA
+    chain below, 'always' = force (tests run the interpreter).
 
     Args:
       volumes: stage -> corner-packed feat||weight volume
@@ -55,15 +61,26 @@ def query_correlation_volume(
     _, xyz, _ = project_points_ndc(source_poses, points, near_far=(near, far))
     # xyz: (NV, RN, SN, 3) with z in [-1, 1]
 
-    feats_per_stage = []
-    weight_sum = 0.0
+    fws = []
     for stage, packed in volumes.items():
         # packed (NV, D, h, w, 8*(8+1)): corner-packed feat||weight rows
-        fw = grid_sample_3d_packed(packed, xyz, align_corners=True,
-                                   padding_mode="zeros")
-        feats_per_stage.append(fw[..., :-1])      # (NV, RN, SN, 8)
+        fws.append(grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                         padding_mode="zeros"))
+
+    if fused == "always" or (fused == "auto"
+                             and jax.default_backend() == "tpu"):
+        from ..ops.fused_volume_fusion import volume_fusion
+
+        nv = fws[0].shape[0]
+        f = fws[0].shape[-1] - 1
+        lead = fws[0].shape[1:-1]
+        flat = [fw.reshape(nv, -1, f + 1) for fw in fws]
+        return volume_fusion(*flat).reshape(*lead, len(fws) * f)
+
+    feats = jnp.concatenate([fw[..., :-1] for fw in fws], axis=-1)
+    weight_sum = 0.0
+    for fw in fws:
         weight_sum = weight_sum + fw[..., -1:]    # (NV, RN, SN, 1)
-    feats = jnp.concatenate(feats_per_stage, axis=-1)  # (NV, RN, SN, 24)
 
     g = jnp.sum(feats * weight_sum, axis=0)
     w_all = jnp.sum(weight_sum, axis=0)
@@ -78,6 +95,7 @@ def query_similarity(
     n_views: int,
     n_groups: int = 8,
     pair_quirk: bool = True,
+    fused: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Explicit pairwise feature similarity (reference model.py:218-305).
 
@@ -101,6 +119,11 @@ def query_similarity(
     channel-wise and sampled with ONE corner-packed gather per view-point
     instead of one per (pair, side) — gather cost on TPU is per row, so this
     halves the hot-path similarity gathers. Values are bit-identical.
+
+    ``fused`` routes the grouped-cosine stage to a Pallas kernel that
+    consumes the gather output point-major in one pass
+    (ops/fused_similarity.py): 'auto' = on TPU, 'never' = the XLA loop
+    below, 'always' = force (tests run the interpreter). Identical math.
 
     Returns:
       feat_info: (..., n_groups) mean per-group cosine similarity.
@@ -128,11 +151,19 @@ def query_similarity(
                                     align_corners=True,
                                     padding_mode="border")  # (NV, ..., (NV-1)C)
 
+    lead = sampled.shape[1:-1]
+    if fused == "always" or (fused == "auto"
+                             and jax.default_backend() == "tpu"):
+        from ..ops.fused_similarity import grouped_cosine
+
+        flat = sampled.reshape(n_views, -1, sampled.shape[-1])
+        feat = grouped_cosine(flat, n_groups).reshape(*lead, n_groups)
+        return feat, xy, valid
+
     def view_slot(v, key):
         k = slots[v].index(key)
         return sampled[v, ..., k * c:(k + 1) * c]
 
-    lead = sampled.shape[1:-1]
     cos_all = []
     for p, (i, j) in enumerate(pairs):
         gi = view_slot(i, (0, p)).reshape(*lead, n_groups, c // n_groups)
@@ -245,19 +276,24 @@ class RayTransformer(nn.Module):
         img_rgb = rgbd[..., :3]
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 
-        pe_nv = None
+        depth_dist = None
         if mvs_depths is not None:
-            # depth distance PE (ray_transformer.py:229-247)
+            # depth distance for the PE (ray_transformer.py:229-247)
             d_sampled = rgbd[..., 3]
             cam = jnp.einsum("vij,rsj->vrsi", src_w2cs[:, :3, :3], points,
                              precision=hp) + src_w2cs[:, None, None, :3, 3]
             depth_dist = d_sampled - cam[..., 2]  # (NV, RN, SN)
-            pe_nv = nerf_posenc(depth_dist[..., None], num_freqs=4)  # (NV,RN,SN,8)
 
-        if self._fused_ok(fea_volume_feat, sim_feat, pe_nv):
+        if self._fused_ok(fea_volume_feat, sim_feat, depth_dist):
+            # the fused kernels encode depth_dist themselves (1 transposed
+            # row per view instead of the 8 encoded rows)
             return self._per_point_fused(
-                img_feat, fea_volume_feat, sim_feat, pe_nv, dir_relative,
-                img_rgb, mask, rn, sn, nv)
+                img_feat, fea_volume_feat, sim_feat, depth_dist,
+                dir_relative, img_rgb, mask, rn, sn, nv)
+
+        pe_nv = None
+        if depth_dist is not None:
+            pe_nv = nerf_posenc(depth_dist[..., None], num_freqs=4)  # (NV,RN,SN,8)
 
         # assemble view-token features: (RN*SN, NV, C)
         x = img_feat.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
@@ -297,12 +333,12 @@ class RayTransformer(nn.Module):
 
         return {"token": token_out.reshape(rn, sn, -1), "radiance": radiance}
 
-    def _fused_ok(self, fea_volume_feat, sim_feat, pe_nv) -> bool:
+    def _fused_ok(self, fea_volume_feat, sim_feat, depth_dist) -> bool:
         """Route to the fused Pallas point head? Static decision per trace."""
         if self.fused == "never" or self.is_initializing():
             return False
         full = (fea_volume_feat is not None and sim_feat is not None
-                and pe_nv is not None and not self.use_dir_srdf
+                and depth_dist is not None and not self.use_dir_srdf
                 and self.dtype == jnp.float32)
         if self.fused == "always":
             if not full:
@@ -315,8 +351,8 @@ class RayTransformer(nn.Module):
             return full
         return full and jax.default_backend() == "tpu"
 
-    def _per_point_fused(self, img_feat, fea_volume_feat, sim_feat, pe_nv,
-                         dir_relative, img_rgb, mask, rn, sn, nv):
+    def _per_point_fused(self, img_feat, fea_volume_feat, sim_feat,
+                         depth_dist, dir_relative, img_rgb, mask, rn, sn, nv):
         """Dispatch the per-point stage to a fused Pallas kernel; identical
         math to the flax path.  Two layouts exist: v1 (feature-major (C, P)
         slabs, host-side transposes) and v2 (point-major (NV, P, C), the raw
@@ -341,7 +377,7 @@ class RayTransformer(nn.Module):
                 img_feat=rs(img_feat),
                 vol_feat=fea_volume_feat.reshape(n, -1),
                 sim_feat=sim_feat.reshape(n, -1),
-                pe_depth=rs(pe_nv),
+                depth_dist=depth_dist.reshape(nv, n),
                 dir_rel=rs(dir_relative),
                 rgb=rs(img_rgb),
                 mask=mask.reshape(nv, n),
@@ -357,7 +393,7 @@ class RayTransformer(nn.Module):
                 img_feat=tr(img_feat),
                 vol_feat=fea_volume_feat.reshape(n, -1).T,
                 sim_feat=sim_feat.reshape(n, -1).T,
-                pe_depth=tr(pe_nv),
+                depth_dist=depth_dist.reshape(nv, n),
                 dir_rel=tr(dir_relative),
                 rgb=tr(img_rgb),
                 mask=mask.reshape(nv, n),

@@ -178,6 +178,7 @@ class UFORecon(nn.Module):
             sim_feat, xy, valid = query_similarity(
                 points, scene.source_poses, enc.aug0, enc.aug1, nv,
                 n_groups=c.cos_n_group, pair_quirk=c.sim_pair_quirk,
+                fused=c.fused_similarity,
             )
         if xy is None:
             xy, _, valid = cam_ops.project_points_ndc(scene.source_poses, points)
@@ -186,7 +187,7 @@ class UFORecon(nn.Module):
         if c.volume_type == "correlation" and c.volume_reso > 0:
             fea_volume_feat = query_correlation_volume(
                 points, scene.source_poses, enc.volumes,
-                (scene.near, scene.far),
+                (scene.near, scene.far), fused=c.fused_volume_fusion,
             )
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_volume_feat = grid_sample_3d(

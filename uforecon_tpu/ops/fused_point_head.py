@@ -31,6 +31,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,10 +74,36 @@ class PointHeadInputs(NamedTuple):
     img_feat: jnp.ndarray   # (NV, C_img, P)
     vol_feat: jnp.ndarray   # (C_vol, P)
     sim_feat: jnp.ndarray   # (8, P) raw cosine groups (pre pre_sim_mlp)
-    pe_depth: jnp.ndarray   # (NV, C_pe, P)
+    depth_dist: jnp.ndarray  # (NV, P) sampled-MVS-depth minus point cam-z
     dir_rel: jnp.ndarray    # (NV, 3, P)
     rgb: jnp.ndarray        # (NV, 3, P)
     mask: jnp.ndarray       # (NV, P)
+
+
+# The 8d depth positional encoding (NeRF PE of depth_dist, num_freqs=4 —
+# ray_transformer.py:229-247 / ops/posenc.py nerf_posenc) is computed
+# INSIDE the kernels: transposing 1 depth_dist row per view to
+# feature-major costs 8x less than transposing the 8 encoded rows, and
+# the sin/cos are VPU-free next to the matmuls.
+_PE_FREQS = (np.pi * 2.0 ** np.repeat(np.arange(4), 2)).astype(np.float32)
+_PE_PHASES = np.zeros(8, np.float32)
+_PE_PHASES[1::2] = np.pi * 0.5
+
+
+def _pe_sin(dd, k):
+    """NeRF PE sin(f_k * dd + ph_k) from iota-built constants (Pallas
+    kernels may not capture array constants). exp2 of the small integer
+    iota reproduces the 2^(k//2) frequency ladder exactly."""
+    f32 = jnp.float32
+    f = jnp.exp2((k // 2).astype(f32)) * np.float32(np.pi)
+    ph = (k % 2).astype(f32) * np.float32(np.pi * 0.5)
+    return jnp.sin(dd * f + ph)
+
+
+def _pe_rows(dd):
+    """(BLK,) depth distances -> (8, BLK) NeRF PE, nerf_posenc parity."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (8, dd.shape[0]), 0)
+    return _pe_sin(dd[None, :], k)
 
 
 def _phi(x):
@@ -98,7 +125,7 @@ def _layernorm_rows(x, scale, bias):
 
 
 def _kernel(nv, c, n_heads,
-            img_ref, vol_ref, sim_ref, pe_ref, dir_ref, rgb_ref, mask_ref,
+            img_ref, vol_ref, sim_ref, dd_ref, dir_ref, rgb_ref, mask_ref,
             tok_w, wq, wk, wv, wm, n1s, n1b, w1, w2, n2s, n2b,
             sw0, sb0, sw1, sb1, sw2, sb2,
             rw0, rb0, rw1, rb1, rw2, rb2,
@@ -127,7 +154,7 @@ def _kernel(nv, c, n_heads,
     xs = [jnp.broadcast_to(tok_w[:][:, None], (c, blk))]  # view token
     for v in range(nv):
         xs.append(jnp.concatenate(
-            [img_ref[v], vol, sim16, pe_ref[v]], axis=0))  # (C, BLK)
+            [img_ref[v], vol, sim16, _pe_rows(dd_ref[v])], axis=0))  # (C, BLK)
 
     qf = [None] * L
     kf = [None] * L
@@ -234,7 +261,7 @@ def point_head_fused(inp: PointHeadInputs, p: PointHeadParams,
             spec(nv, padded.img_feat.shape[1]),
             spec(padded.vol_feat.shape[0]),
             spec(padded.sim_feat.shape[0]),
-            spec(nv, padded.pe_depth.shape[1]),
+            spec(nv),
             spec(nv, 3),
             spec(nv, 3),
             spec(nv),
@@ -269,10 +296,14 @@ def _point_head_reference_impl(inp, p, n_heads):
     s = jnp.maximum(dense(s, p.sim_w[1], p.sim_b[1]), 0.0)
     sim16 = dense(s, p.sim_w[2], p.sim_b[2])             # (16, P)
 
+    # NeRF depth PE from the raw depth distances (nerf_posenc parity)
+    pe = jnp.sin(inp.depth_dist[:, None, :] * _PE_FREQS[None, :, None]
+                 + _PE_PHASES[None, :, None])            # (NV, 8, P)
+
     xs = [jnp.broadcast_to(p.view_token.reshape(-1)[:, None], (c, n))]
     for v in range(nv):
         xs.append(jnp.concatenate(
-            [inp.img_feat[v], inp.vol_feat, sim16, inp.pe_depth[v]], axis=0))
+            [inp.img_feat[v], inp.vol_feat, sim16, pe[v]], axis=0))
     x = jnp.stack(xs)                                    # (L, C, P)
 
     dk = c // n_heads

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_point_head import (PointHeadInputs, PointHeadParams, _EPS,
-                               _ph_bwd, point_head_reference)
+                               _pe_sin, _ph_bwd, point_head_reference)
 from .fused_ray_head import _ln_lanes, _phi, _use_interpret
 from .kernel_precision import FORWARD_PRECISION
 
@@ -47,14 +47,14 @@ class PointHeadInputs2(NamedTuple):
     img_feat: jnp.ndarray   # (NV, P, C_img)
     vol_feat: jnp.ndarray   # (P, C_vol)
     sim_feat: jnp.ndarray   # (P, 8) raw cosine groups (pre pre_sim_mlp)
-    pe_depth: jnp.ndarray   # (NV, P, C_pe)
+    depth_dist: jnp.ndarray  # (NV, P) sampled-MVS-depth minus point cam-z
     dir_rel: jnp.ndarray    # (NV, P, 3)
     rgb: jnp.ndarray        # (NV, P, 3)
     mask: jnp.ndarray       # (NV, P)
 
 
 def _kernel(nv, c, n_heads,
-            img_ref, vol_ref, sim_ref, pe_ref, dir_ref, rgb_ref, mask_ref,
+            img_ref, vol_ref, sim_ref, dd_ref, dir_ref, rgb_ref, mask_ref,
             tok_x, tok_qkv,
             wq_i, wq_v, wq_s, wq_p,
             wk_i, wk_v, wk_s, wk_p,
@@ -98,6 +98,10 @@ def _kernel(nv, c, n_heads,
     k_sh = mm(vol, wk_v) + mm(sim16, wk_s)
     v_sh = mm(vol, wv_v) + mm(sim16, wv_s)
 
+    # NeRF depth PE computed in place, point-major (BLK, 8)
+    pe_k = jax.lax.broadcasted_iota(jnp.int32, (blk, 8), 1)
+    pe = [_pe_sin(dd_ref[v][:, None], pe_k) for v in range(nv)]
+
     qf = [None] * L
     kf = [None] * L
     vv = [None] * L
@@ -106,7 +110,7 @@ def _kernel(nv, c, n_heads,
     vv[0] = jnp.broadcast_to(tok_qkv[2][None, :], (blk, c))
     for v in range(nv):
         img_v = img_ref[v]
-        pe_v = pe_ref[v]
+        pe_v = pe[v]
         qf[1 + v] = _phi(q_sh + mm(img_v, wq_i) + mm(pe_v, wq_p))
         kf[1 + v] = _phi(k_sh + mm(img_v, wk_i) + mm(pe_v, wk_p))
         vv[1 + v] = v_sh + mm(img_v, wv_i) + mm(pe_v, wv_p)
@@ -130,7 +134,7 @@ def _kernel(nv, c, n_heads,
         if l == 0:
             xl_w1 = jnp.broadcast_to(w1a_tok[:], (blk, w1b.shape[1]))
         else:
-            xl_w1 = mlp_sh + mm(img_ref[l - 1], w1a_i) + mm(pe_ref[l - 1], w1a_p)
+            xl_w1 = mlp_sh + mm(img_ref[l - 1], w1a_i) + mm(pe[l - 1], w1a_p)
         y = jnp.maximum(xl_w1 + mm(msg, w1b), 0.0)         # (P, 2C)
         m2[l] = _ln_lanes(mm(y, w2), n2s[:], n2b[:])
 
@@ -140,7 +144,7 @@ def _kernel(nv, c, n_heads,
     rad_sh = mm(vol, r0_v) + mm(sim16, r0_s)
     logits = []
     for v in range(nv):
-        z = (rad_sh + mm(img_ref[v], r0_i) + mm(pe_ref[v], r0_p)
+        z = (rad_sh + mm(img_ref[v], r0_i) + mm(pe[v], r0_p)
              + mm(m2[1 + v], r0_m2) + mm(dir_ref[v], r0_d) + rb0[:][None, :])
         z = jnp.maximum(z, 0.0)
         z = jnp.maximum(mm(z, rw1) + rb1[:][None, :], 0.0)
@@ -179,7 +183,7 @@ def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
             img_feat=pad_pts(inp.img_feat, 1),
             vol_feat=pad_pts(inp.vol_feat, 0),
             sim_feat=pad_pts(inp.sim_feat, 0),
-            pe_depth=pad_pts(inp.pe_depth, 1),
+            depth_dist=pad_pts(inp.depth_dist, 1),
             dir_rel=pad_pts(inp.dir_rel, 1),
             rgb=pad_pts(inp.rgb, 1),
             mask=pad_pts(inp.mask, 1),
@@ -255,7 +259,7 @@ def point_head2_fused(inp: PointHeadInputs2, p: PointHeadParams,
         grid=grid,
         in_specs=[
             vspec(ci), pspec(cv), pspec(inp.sim_feat.shape[-1]),
-            vspec(inp.pe_depth.shape[-1]), vspec(3), vspec(3), vspec(),
+            vspec(), vspec(3), vspec(3), vspec(),
         ] + [wspec(w.shape) for w in weights],
         out_specs=[pspec(c), pspec(3)],
         interpret=_use_interpret(),
@@ -269,7 +273,7 @@ def _to_v1_inputs(inp: PointHeadInputs2) -> PointHeadInputs:
     t2 = lambda a: a.transpose(0, 2, 1)   # (NV, P, C) -> (NV, C, P)
     return PointHeadInputs(
         img_feat=t2(inp.img_feat), vol_feat=inp.vol_feat.T,
-        sim_feat=inp.sim_feat.T, pe_depth=t2(inp.pe_depth),
+        sim_feat=inp.sim_feat.T, depth_dist=inp.depth_dist,
         dir_rel=t2(inp.dir_rel), rgb=t2(inp.rgb), mask=inp.mask,
     )
 
@@ -302,7 +306,7 @@ def _ph2_bwd(n_heads, res, g):
     t2 = lambda a: a.transpose(0, 2, 1)
     di = PointHeadInputs2(
         img_feat=t2(di1.img_feat), vol_feat=di1.vol_feat.T,
-        sim_feat=di1.sim_feat.T, pe_depth=t2(di1.pe_depth),
+        sim_feat=di1.sim_feat.T, depth_dist=di1.depth_dist,
         dir_rel=t2(di1.dir_rel), rgb=t2(di1.rgb), mask=di1.mask,
     )
     return di, dp
