@@ -36,11 +36,16 @@ def main():
     from uforecon_tpu.pipeline.renderer import SceneRenderer
     from uforecon_tpu.parallel.sharding import make_mesh
 
+    # BENCH_FUSED=never disables the glue kernels (grouped cosine, view
+    # fusion; the point/ray heads keep their own 'auto') for on-chip A/B
+    fused_glue = os.environ.get("BENCH_FUSED", "auto")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
+        fused_similarity=fused_glue,
+        fused_volume_fusion=fused_glue,
     )
 
     # full-size synthetic scene (model weights random — throughput is
@@ -93,6 +98,8 @@ def _fail_fast_if_tunnel_down():
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return  # not a tunneled-TPU environment
+    if os.environ.get("UFO_PLATFORM", "axon") != "axon":
+        return  # platform forced off the tunnel (e.g. CPU smoke runs)
     import socket
 
     try:
