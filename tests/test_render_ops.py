@@ -110,6 +110,48 @@ def test_gmflow_sample_and_splits(rng):
     assert np.isfinite(np.asarray(i0)).all()
 
 
+def test_exact_onehot_einsum_bitwise(rng):
+    """The 3-component bf16 split must reproduce a HIGHEST-precision one-hot
+    contraction bit-for-bit across magnitudes (the property that lets the
+    permutation run in 3 single MXU passes instead of HIGHEST's 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uforecon_tpu.ops.exact_onehot import exact_onehot_einsum
+
+    r, n, c = 7, 64, 5
+    # mixed magnitudes: DTU-scale, tiny, negative, exact-bf16, zero
+    vals = np.concatenate([
+        (425.0 + 480.0 * rng.random((r, n, 1))),
+        rng.standard_normal((r, n, 1)) * 1e-4,
+        -rng.standard_normal((r, n, 1)),
+        np.round(rng.standard_normal((r, n, 1)) * 4) / 4,
+        np.zeros((r, n, 1)),
+    ], axis=-1).astype(np.float32)
+    perm = np.stack([rng.permutation(n) for _ in range(r)])
+    onehot = (perm[..., None] == np.arange(n)[None, None, :]).astype(np.float32)
+
+    out = exact_onehot_einsum("rij,rjc->ric", jnp.asarray(onehot),
+                              jnp.asarray(vals))
+    ref = jnp.einsum("rij,rjc->ric", jnp.asarray(onehot), jnp.asarray(vals),
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # and equals the plain permutation of the values
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.take_along_axis(vals, perm[..., None], 1))
+
+    # the custom VJP routes the COTANGENT through the same exact split
+    # (a plain einsum backward would bf16-round it on TPU)
+    g = jnp.asarray((rng.standard_normal((r, n, c)) * 100).astype(np.float32))
+    _, vjp = jax.vjp(lambda v: exact_onehot_einsum(
+        "rij,rjc->ric", jnp.asarray(onehot), v), jnp.asarray(vals))
+    _, vjp_ref = jax.vjp(lambda v: jnp.einsum(
+        "rij,rjc->ric", jnp.asarray(onehot), v,
+        precision=jax.lax.Precision.HIGHEST), jnp.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(vjp(g)[0]),
+                                  np.asarray(vjp_ref(g)[0]))
+
+
 def test_sample_importance_one_hot_fetch_is_exact(rng):
     """The dense one-hot bracketing fetch must be BIT-identical to scattered
     take_along_axis gathers (0/1 products and single-nonzero sums are exact

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops import camera as cam_ops
+from ..ops.exact_onehot import exact_onehot_einsum
 from ..ops.grid_sample import grid_sample_3d, pack_volume_corners
 from ..ops.rendering import neus_render
 from ..ops.sampling import sample_coarse, sample_importance
@@ -280,10 +281,9 @@ class UFORecon(nn.Module):
         sn_all = cat.shape[1]
         onehot = (order[..., None] == jnp.arange(sn_all)[None, None, :]
                   ).astype(cat.dtype)                       # (RN, SNall, SNall)
-        # HIGHEST keeps the permutation exact: TPU default precision would
-        # round the token/z data to bf16 on the MXU
-        cat = jnp.einsum("rij,rjc->ric", onehot, cat,
-                         precision=jax.lax.Precision.HIGHEST)
+        # bit-exact permutation at 3 single bf16 MXU passes (the one-hot
+        # side is exactly bf16; HIGHEST would pay 6 passes for the same bits)
+        cat = exact_onehot_einsum("rij,rjc->ric", onehot, cat)
         z_all = cat[..., -1]
         pp_all = {"token": cat[..., :d_tok], "radiance": cat[..., d_tok:-1]}
         out_f = self._render_sequence(z_all, pp_all)

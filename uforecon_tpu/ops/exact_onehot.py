@@ -1,0 +1,96 @@
+"""Exact one-hot contractions in single-pass bf16 matmuls.
+
+TPU MXU matmuls natively multiply bf16: default precision rounds f32
+inputs to bf16 (lossy), and ``Precision.HIGHEST`` recovers true f32 by
+splitting BOTH operands into bf16 components (6 MXU passes). When one
+operand is a 0/1 one-hot/permutation matrix it is already EXACTLY
+bf16-representable, so only the value side needs splitting: three
+single-pass default-precision matmuls against the value's three bf16
+components reproduce the f32 result bit-for-bit at half the MXU cost.
+
+Why the 3-way split is exact (Fast2Sum): hi = RN_bf16(v) makes v - hi
+exactly representable in f32 with <=16 significant bits; mid = RN_bf16 of
+that leaves a residual with <=8 significant bits, which bf16's 8-bit
+significand holds exactly. Products against exact 0/1 are exact, each
+output lane selects a SINGLE value per component, and hi+mid+lo
+reassembles the original f32 with no rounding. (Asserted bit-identical
+vs a HIGHEST einsum and vs row gathers in tests/test_render_ops.py.)
+
+The backward matters as much as the forward: a plain einsum's VJP runs at
+the same DEFAULT precision and would round the incoming COTANGENT to bf16
+— the forward/backward de-sync class that destroyed render training in
+round 2 (docs/DESIGN.md §3). The transpose of a one-hot contraction is
+itself a one-hot contraction, so the custom VJP applies the identical
+exact split to the cotangent. The one-hot operand receives a zero
+cotangent (it always comes from non-differentiable integer comparisons
+here).
+
+Used for the importance-CDF bracket fetches (ops/sampling.py) and the
+coarse+fine z-merge permutation (models/uforecon.py) — the reference's
+equivalents are scattered torch gathers (sampler.py:86-99,
+model.py:466-470).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _split3(values):
+    """f32 -> three exactly-bf16-representable f32 components."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    hi = values.astype(bf16).astype(f32)
+    rem = values - hi
+    mid = rem.astype(bf16).astype(f32)
+    return hi, mid, rem - mid
+
+
+def _exact_bmm(onehot, values):
+    """(B, I, J) 0/1 @ (B, J, C) f32 -> (B, I, C), f32-bit-exact in three
+    single-pass (DEFAULT-precision, explicit so an ambient
+    jax.default_matmul_precision context cannot widen it) MXU matmuls."""
+    d = jax.lax.Precision.DEFAULT
+    out = None
+    for comp in _split3(values):
+        term = jnp.einsum("bij,bjc->bic", onehot, comp, precision=d)
+        out = term if out is None else out + term
+    return out
+
+
+@jax.custom_vjp
+def exact_onehot_matmul(onehot: jnp.ndarray,
+                        values: jnp.ndarray) -> jnp.ndarray:
+    """f32-exact batched one-hot contraction, exact in forward AND backward.
+
+    Args:
+      onehot: (B, I, J) with only exactly-bf16-representable entries (0/1
+        selection or permutation matrices); treated as non-differentiable
+        (zero cotangent).
+      values: (B, J, C) f32.
+
+    Returns:
+      (B, I, C), bit-identical to a ``Precision.HIGHEST`` einsum.
+    """
+    return _exact_bmm(onehot, values)
+
+
+def _eom_fwd(onehot, values):
+    return _exact_bmm(onehot, values), onehot
+
+
+def _eom_bwd(onehot, g):
+    # values_bar[b,j,c] = sum_i onehot[b,i,j] g[b,i,c] — one-hot transposed
+    # is still one-hot, so the same exact split applies to the cotangent
+    return jnp.zeros_like(onehot), _exact_bmm(onehot.transpose(0, 2, 1), g)
+
+
+exact_onehot_matmul.defvjp(_eom_fwd, _eom_bwd)
+
+
+def exact_onehot_einsum(spec: str, onehot: jnp.ndarray,
+                        values: jnp.ndarray) -> jnp.ndarray:
+    """Spec-named convenience wrapper over ``exact_onehot_matmul`` for the
+    batched (B, I, J) x (B, J, C) -> (B, I, C) contraction shape."""
+    assert spec in ("rij,rjc->ric", "rps,rsc->rpc"), spec
+    return exact_onehot_matmul(onehot, values)

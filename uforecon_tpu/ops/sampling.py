@@ -75,16 +75,16 @@ def sample_importance(
     # Fetch the bracketing (cdf, z) pairs densely: a one-hot MXU contraction
     # over the SN=64 bins is ~10x cheaper than four scattered row gathers
     # (take_along_axis costs ~10 ns/row regardless of row width; the dense
-    # dot is exact — products by 0/1 and single-nonzero sums are exact f32).
-    # HIGHEST keeps the contraction exact: TPU default precision would
-    # round cz to bf16 on the MXU (the 0/1 side is exact either way)
-    hp = jax.lax.Precision.HIGHEST
+    # dot is exact — products by 0/1 and single-nonzero sums are exact f32,
+    # via the 3-component bf16 split in ops/exact_onehot.py)
+    from .exact_onehot import exact_onehot_einsum
+
     s_iota = jnp.arange(sn)
     oh_right = (s_iota[None, None, :] == idx[..., None]).astype(z_val.dtype)
     oh_left = (s_iota[None, None, :] == (idx - 1)[..., None]).astype(z_val.dtype)
     cz = jnp.stack([cdf, z_val], axis=-1)                     # (RN, SN, 2)
-    right = jnp.einsum("rps,rsc->rpc", oh_right, cz, precision=hp)
-    left = jnp.einsum("rps,rsc->rpc", oh_left, cz, precision=hp)
+    right = exact_onehot_einsum("rps,rsc->rpc", oh_right, cz)
+    left = exact_onehot_einsum("rps,rsc->rpc", oh_left, cz)
     left_cdf, z_left = left[..., 0], left[..., 1]
     right_cdf, z_right = right[..., 0], right[..., 1]
 
