@@ -16,23 +16,41 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libuforecon_bvh.so"))
+# Search order: explicit override -> installed package copy (built by
+# setup.py's build_py hook) -> repo checkout (built best-effort via make).
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_NATIVE_DIR = os.path.join(_PKG_DIR, "..", "native")
+_LIB_NAME = "libuforecon_bvh.so"
 _lib = None
+
+
+def _find_lib_path() -> Optional[str]:
+    env = os.environ.get("UFO_BVH_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    pkg_copy = os.path.join(_PKG_DIR, "native", _LIB_NAME)
+    if os.path.exists(pkg_copy):
+        return pkg_copy
+    repo_copy = os.path.abspath(os.path.join(_REPO_NATIVE_DIR, _LIB_NAME))
+    if not os.path.exists(repo_copy) and os.path.isdir(
+            os.path.dirname(repo_copy)):
+        try:  # best-effort build from source in a dev checkout
+            subprocess.run(["make", "-C", os.path.dirname(repo_copy)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    return repo_copy if os.path.exists(repo_copy) else None
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:  # best-effort build from source
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
+    path = _find_lib_path()
+    if path is None:
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     lib.bvh_build.restype = ctypes.c_void_p
