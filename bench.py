@@ -90,27 +90,43 @@ def main():
 
 
 def _fail_fast_if_tunnel_down():
-    """When the axon relay is dead, the first device query hangs forever.
+    """When the axon relay is dead, device queries/compiles hang forever.
 
-    Probe the relay port and emit the one required JSON line (value 0,
-    with an error note) instead of hanging the driver; the last good
-    measured number is recorded in BASELINE.md.
+    Probe with a real tiny computation in a SUBPROCESS under a timeout —
+    the relay's port layout is not stable across restarts, so a socket
+    probe of a fixed port gives false negatives; only an end-to-end
+    compile+execute proves the chip is usable. On failure emit the one
+    required JSON line (value 0, with an error note) instead of hanging
+    the driver; the last good measured number is in BASELINE.md.
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return  # not a tunneled-TPU environment
     if os.environ.get("UFO_PLATFORM", "axon") != "axon":
         return  # platform forced off the tunnel (e.g. CPU smoke runs)
-    import socket
+    import subprocess
 
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "(x @ x).block_until_ready();"
+        "print('PROBE_OK')"
+    )
     try:
-        socket.create_connection(("127.0.0.1", 2297), timeout=5).close()
-    except OSError:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True,
+            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", 240)),
+        )
+        ok = r.returncode == 0 and b"PROBE_OK" in r.stdout
+        err = "" if ok else (r.stderr.decode(errors="replace")[-300:] or "rc!=0")
+    except subprocess.TimeoutExpired:
+        ok, err = False, "probe compute timed out"
+    if not ok:
         print(json.dumps({
             "metric": "depth_render_rays_per_sec_per_chip",
             "value": 0.0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
-            "error": "tpu tunnel (axon relay 127.0.0.1:2297) unreachable",
+            "error": f"tpu tunnel unusable: {err}",
         }))
         sys.exit(0)
 

@@ -20,11 +20,12 @@ inputs: fused_point_head='always' vs 'never', and compares
     (see the tpu-matmul-precision-trap memory / BASELINE.md).
   * parameter gradients of a train-style rgb+depth loss (the fused path's
     custom VJP is the pure-JAX reference; this catches fwd/bwd precision
-    de-sync, the failure mode that diverged training in round 2). Gated on
-    the whole-tree L2 relative error: a de-sync perturbs gradients broadly,
-    while per-leaf max-relative error is cancellation-noise-dominated on
-    deep-U-Net bias leaves (measured 3.6% element noise at 1e-7 forward
-    parity on CPU, tree-L2 0.16%).
+    de-sync, the failure mode that diverged training in round 2). Strictly
+    gated on the COARSE-loss whole-tree L2 relative error (no discrete
+    resampling between paths there; every fused kernel still runs);
+    loosely gated on the FINE-loss grads, where CDF bin flips from ~1e-6
+    forward noise legitimately move isolated rays' samples (measured 2.9%
+    tree-L2 on chip at 1.7e-7 coarse forward parity).
 
 Prints one JSON line; exit 1 on tolerance violation. Keep ONE process on
 the chip (axon tunnel).
@@ -54,6 +55,7 @@ def main():
     ap.add_argument("--tol_fine_p99", type=float,
                     default=1e-3 if prec == "highest" else 1e-2)
     ap.add_argument("--tol_grad", type=float, default=5e-3)
+    ap.add_argument("--tol_grad_fine", type=float, default=0.2)
     args = ap.parse_args()
 
     import jax
@@ -105,38 +107,60 @@ def main():
     ok &= bool(np.isfinite(np.asarray(out_fused["fine"]["depth"])).all())
 
     if not args.skip_grads:
-        def loss_fn(mdl):
+        def loss_fn(mdl, pass_name):
             def f(params):
                 out = mdl.apply({**variables, "params": params},
                                 scene, rays[:256], key)
-                return (jnp.mean(out["fine"]["rgb"]) +
-                        jnp.mean(out["fine"]["depth"]))
+                return (jnp.mean(out[pass_name]["rgb"]) +
+                        jnp.mean(out[pass_name]["depth"]))
             return f
 
-        g_ref = jax.jit(jax.grad(loss_fn(model_ref)))(variables["params"])
-        g_fused = jax.jit(jax.grad(loss_fn(model_fused)))(variables["params"])
-        # Gate on the whole-tree L2 relative error: a fwd/bwd precision
-        # de-sync (the round-2 failure mode) perturbs the gradient broadly,
-        # while per-leaf max-relative error is noise-dominated on deep-U-Net
-        # BIAS leaves (grads are sums over ~1e5 spatial positions with heavy
-        # cancellation — measured 3.6% element noise at 1e-7 forward parity).
-        # Per-leaf numbers are reported as diagnostics only.
-        num = den = 0.0
-        leaf_rel = []
-        for (path, a), (_, b) in zip(
-                jax.tree_util.tree_leaves_with_path(g_fused),
-                jax.tree_util.tree_leaves_with_path(g_ref)):
-            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-            num += float(np.sum((a - b) ** 2))
-            den += float(np.sum(b ** 2))
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            leaf_rel.append(
-                (float(np.abs(a - b).max() / (np.abs(b).max() + 1e-6)), name))
-        leaf_rel.sort(reverse=True)
-        report["grad_tree_rel_l2"] = float(np.sqrt(num / max(den, 1e-30)))
-        report["grad_worst_leaves"] = [
-            {"leaf": n, "max_rel": r} for r, n in leaf_rel[:3]]
-        ok &= report["grad_tree_rel_l2"] < args.tol_grad
+        def grad_tree_diff(pass_name):
+            g_ref = jax.jit(jax.grad(loss_fn(model_ref, pass_name)))(
+                variables["params"])
+            g_fused = jax.jit(jax.grad(loss_fn(model_fused, pass_name)))(
+                variables["params"])
+            # Whole-tree L2 relative error: a fwd/bwd precision de-sync
+            # (the round-2 failure mode) perturbs the gradient broadly,
+            # while per-leaf max-relative error is noise-dominated on
+            # deep-U-Net BIAS leaves (grads are sums over ~1e5 spatial
+            # positions with heavy cancellation — measured 3.6% element
+            # noise at 1e-7 forward parity).
+            num = den = 0.0
+            leaf_rel = []
+            for (path, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(g_fused),
+                    jax.tree_util.tree_leaves_with_path(g_ref)):
+                a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+                num += float(np.sum((a - b) ** 2))
+                den += float(np.sum(b ** 2))
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                leaf_rel.append(
+                    (float(np.abs(a - b).max() / (np.abs(b).max() + 1e-6)),
+                     name))
+            leaf_rel.sort(reverse=True)
+            return (float(np.sqrt(num / max(den, 1e-30))),
+                    [{"leaf": n, "max_rel": r} for r, n in leaf_rel[:3]])
+
+        # STRICT gate on a coarse-output loss: no discrete importance
+        # resampling between the two paths at this stage, so any tree-L2
+        # excess is a genuine fwd/bwd de-sync. Every fused kernel (point
+        # head, ray head, grouped cosine, volume fusion) runs in the
+        # coarse pass, so coverage is complete.
+        rel, worst = grad_tree_diff("coarse")
+        report["grad_tree_rel_l2"] = rel
+        report["grad_worst_leaves"] = worst
+        ok &= rel < args.tol_grad
+        # LOOSE gate on the fine-output loss: a ~1e-6 forward difference
+        # can flip an importance-CDF bin for isolated rays (discrete
+        # selection), which moves those rays' fine SAMPLES legitimately —
+        # their gradients then differ by O(1) per flipped ray (measured
+        # 2.9% tree-L2 on chip at 1.7e-7 coarse forward parity). Only
+        # wild divergence (a broken fine-pass VJP) is gated here.
+        rel_f, worst_f = grad_tree_diff("fine")
+        report["grad_fine_tree_rel_l2"] = rel_f
+        report["grad_fine_worst_leaves"] = worst_f
+        ok &= rel_f < args.tol_grad_fine
 
     report["ok"] = bool(ok)
     print(json.dumps(report))

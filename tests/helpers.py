@@ -165,6 +165,21 @@ def make_synthetic_sample(n_views=3, h=32, w=32, ndepth=16, radius=4.0,
     }
 
 
+def fused_fwd_tol():
+    """(rtol, atol) for fused-kernel vs exact-f32-reference forward checks.
+
+    UFO_KERNEL_PRECISION=high really executes the bf16x3 split on every
+    platform (a manual decomposition, not a precision flag CPU can ignore),
+    so the fused forward carries ~1e-6-of-scale absolute error vs the
+    exact-f32 reference; atol widens accordingly in that mode (measured
+    2.06e-5 worst abs at unit scale through the attention/LN chain).
+    """
+    from uforecon_tpu.ops.kernel_precision import KERNEL_PRECISION_MODE
+    if KERNEL_PRECISION_MODE == "high":
+        return 2e-4, 2e-4
+    return 2e-4, 2e-5
+
+
 class SyntheticDataset:
     """List-like dataset of synthetic sample dicts."""
 

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from helpers import fused_fwd_tol
 from uforecon_tpu.ops import fused_point_head as fph
 from uforecon_tpu.ops import fused_point_head2 as fph2
 
@@ -42,10 +43,11 @@ def test_v2_fused_matches_reference(rng):
     tok_f, rad_f = fph2.point_head2_fused(inp, p, n_heads=4)
     tok_r, rad_r = fph2.point_head2_reference(inp, p, n_heads=4)
     assert tok_f.shape == tok_r.shape and rad_f.shape == (37, 3)
+    rtol, atol = fused_fwd_tol()
     np.testing.assert_allclose(np.asarray(tok_f), np.asarray(tok_r),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=rtol, atol=atol)
     np.testing.assert_allclose(np.asarray(rad_f), np.asarray(rad_r),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=rtol, atol=atol)
 
 
 def test_v2_gradients_match_reference(rng):

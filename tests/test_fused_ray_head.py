@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from helpers import fused_fwd_tol
 from uforecon_tpu.models.ray_transformer import RayTransformer
 from uforecon_tpu.ops.fused_ray_head import (RayHeadParams, ray_head,
                                              ray_head_fused,
@@ -35,8 +36,9 @@ def test_fused_matches_reference(rn, sn):
     ref = ray_head_reference(y, p)
     got = ray_head_fused(y, p)
     assert got.shape == (rn, sn)
+    rtol, atol = fused_fwd_tol()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=rtol, atol=atol)
 
 
 def test_fused_matches_flax_module():
@@ -50,8 +52,9 @@ def test_fused_matches_flax_module():
     ref = rt.apply(variables, token, method=rt.along_ray)
     rt_fused = RayTransformer(fused="always")
     got = rt_fused.apply(variables, token, method=rt_fused.along_ray)
+    rtol, atol = fused_fwd_tol()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=rtol, atol=atol)
 
 
 def test_gradients_match_reference():

@@ -2,23 +2,24 @@
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 _PROBE = """
 import jax
 from uforecon_tpu.ops import fused_point_head, fused_point_head2, fused_ray_head
-from uforecon_tpu.ops.kernel_precision import FORWARD_PRECISION
-assert fused_point_head.FORWARD_PRECISION is FORWARD_PRECISION
-assert fused_point_head2.FORWARD_PRECISION is FORWARD_PRECISION
-assert fused_ray_head.FORWARD_PRECISION is FORWARD_PRECISION
-print(FORWARD_PRECISION.name)
+from uforecon_tpu.ops.kernel_precision import KERNEL_PRECISION_MODE, kernel_dot
+assert fused_point_head.kernel_dot is kernel_dot
+assert fused_point_head2.kernel_dot is kernel_dot
+assert fused_ray_head.kernel_dot is kernel_dot
+print(KERNEL_PRECISION_MODE)
 """
 
 
 @pytest.mark.parametrize("env_val,expected", [
-    (None, "HIGHEST"),          # default: true-f32, matches the backward
-    ("highest", "HIGHEST"),
-    ("high", "HIGH"),           # bf16x3 A/B mode
+    (None, "highest"),          # default: true-f32, matches the backward
+    ("highest", "highest"),
+    ("high", "high"),           # manual bf16x3 A/B mode
 ])
 def test_env_selects_forward_precision(env_val, expected, monkeypatch):
     import os
@@ -41,3 +42,40 @@ def test_invalid_value_rejected():
         capture_output=True, text=True, env=env, cwd="/root/repo")
     assert out.returncode != 0
     assert "UFO_KERNEL_PRECISION" in out.stderr
+
+
+_BF16X3 = """
+import json
+import jax, jax.numpy as jnp, numpy as np
+from uforecon_tpu.ops.kernel_precision import kernel_dot
+k = jax.random.PRNGKey(0)
+x = jax.random.normal(k, (256, 96), jnp.float32) * 3.0
+y = jax.random.normal(jax.random.PRNGKey(1), (96, 128), jnp.float32)
+dims = (((1,), (0,)), ((), ()))
+got = np.asarray(kernel_dot(x, y, dims), np.float64)
+ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+rel = np.abs(got - ref).max() / np.abs(ref).max()
+one_bf16 = np.asarray(
+    jax.lax.dot_general(x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dims,
+                        preferred_element_type=jnp.float32), np.float64)
+rel_bf16 = np.abs(one_bf16 - ref).max() / np.abs(ref).max()
+print(json.dumps({"rel": float(rel), "rel_bf16": float(rel_bf16)}))
+"""
+
+
+def test_bf16x3_numerics():
+    """The manual split is ~1e-6 accurate — far better than one bf16 pass.
+
+    Mosaic cannot lower lax.Precision.HIGH inside pallas_call (measured
+    on-chip), so 'high' mode hand-rolls the bf16x3 split; this pins its
+    numerical contract on CPU (the split math is platform-independent).
+    """
+    import json
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_KERNEL_PRECISION="high")
+    out = subprocess.run([sys.executable, "-c", _BF16X3], capture_output=True,
+                         text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["rel"] < 5e-6, r
+    assert r["rel"] < r["rel_bf16"] / 100, r  # orders better than 1x bf16

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_precision import FORWARD_PRECISION
+from .kernel_precision import kernel_dot
 
 _EPS = 1e-6      # linear attention denominator (linear_attention.py:46)
 _LN_EPS = 1e-6   # flax LayerNorm default epsilon
@@ -136,14 +136,11 @@ def _kernel(nv, c, n_heads,
     f32 = jnp.float32
 
     def mm(w_ref, x):
-        # (C_out, C_in) @ (C_in, BLK). Default-HIGHEST true-f32 passes,
-        # matching the reference-VJP backward (default precision rounds to
-        # bf16 and de-syncs forward from backward — see fused_ray_head.py);
-        # UFO_KERNEL_PRECISION=high selects bf16x3 (kernel_precision.py).
-        return jax.lax.dot_general(
-            w_ref[:], x, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=FORWARD_PRECISION)
+        # (C_out, C_in) @ (C_in, BLK). Default true-f32 passes, matching the
+        # reference-VJP backward (default precision rounds to bf16 and
+        # de-syncs forward from backward — see fused_ray_head.py);
+        # UFO_KERNEL_PRECISION=high selects manual bf16x3 (kernel_precision).
+        return kernel_dot(w_ref[:], x, (((1,), (0,)), ((), ())))
 
     # pre-similarity MLP (per point, broadcast to views afterwards)
     s = jnp.maximum(mm(sw0, sim_ref[:]) + sb0[:][:, None], 0.0)

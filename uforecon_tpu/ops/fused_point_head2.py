@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_point_head import (PointHeadInputs, PointHeadParams, _EPS,
                                _pe_sin, _ph_bwd, point_head_reference)
 from .fused_ray_head import _ln_lanes, _phi, _use_interpret
-from .kernel_precision import FORWARD_PRECISION
+from .kernel_precision import kernel_dot
 
 _BLK = 512
 
@@ -71,12 +71,9 @@ def _kernel(nv, c, n_heads,
     f32 = jnp.float32
 
     def mm(x, w_ref):
-        # default-HIGHEST true-f32 passes; UFO_KERNEL_PRECISION=high selects
+        # default true-f32 passes; UFO_KERNEL_PRECISION=high selects manual
         # bf16x3 (see fused_point_head.py / kernel_precision.py)
-        return jax.lax.dot_general(
-            x, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=FORWARD_PRECISION)
+        return kernel_dot(x, w_ref[:], (((1,), (0,)), ((), ())))
 
     # pre-similarity MLP (shared across views)
     s = jnp.maximum(mm(sim_ref[:], sw0) + sb0[:][None, :], 0.0)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_precision import FORWARD_PRECISION
+from .kernel_precision import kernel_dot
 
 _EPS = 1e-6      # linear attention denominator (linear_attention.py:46)
 _LN_EPS = 1e-6   # flax LayerNorm default epsilon
@@ -77,18 +77,14 @@ def _kernel(r_blk, sn, c, n_heads,
     p = r_blk * sn
     dk = c // n_heads
 
-    # Default-HIGHEST true-f32 MXU passes. Default precision rounds dot
+    # Default true-f32 MXU passes (kernel_dot): default precision rounds dot
     # inputs to bf16; the SRDF feeds exp(10s)-scaled NeuS sigmoids, where
     # ~0.3% forward error vs the HIGHEST-precision reference VJP backward
     # was measured to destabilize render training. UFO_KERNEL_PRECISION=high
-    # selects bf16x3 (~1e-6 error; see kernel_precision.py).
-    hp = FORWARD_PRECISION
-
+    # selects a manual bf16x3 (~1e-6 error; see kernel_precision.py).
     def mm(x, w_ref):
         # (P, C_in) @ (C_in, C_out)
-        return jax.lax.dot_general(
-            x, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=hp)
+        return kernel_dot(x, w_ref[:], (((1,), (0,)), ((), ())))
 
     flat = y_ref[:].reshape(p, c)
     q = mm(flat, wq)
@@ -109,16 +105,13 @@ def _kernel(r_blk, sn, c, n_heads,
         kf_r = jax.lax.slice(kf, (s0, 0), (s0 + sn, c))
         v_r = jax.lax.slice(v, (s0, 0), (s0 + sn, c))
         # KV = sum_s kf_s (x) v_s per head: full outer product + head mask
-        kv = jax.lax.dot_general(
-            kf_r, v_r, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=hp)       # (C, C)
+        kv = kernel_dot(
+            kf_r, v_r, (((0,), (0,)), ((), ())))            # (C, C)
         ksum = jnp.sum(kf_r, axis=0)                        # (C,)
-        num = jax.lax.dot_general(
-            qf_r, kv * hmask, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=hp)       # (SN, C)
-        den = jax.lax.dot_general(
-            qf_r, ksum[:, None] * hmask, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=hp)       # (SN, C)
+        num = kernel_dot(
+            qf_r, kv * hmask, (((1,), (0,)), ((), ())))     # (SN, C)
+        den = kernel_dot(
+            qf_r, ksum[:, None] * hmask, (((1,), (0,)), ((), ())))  # (SN, C)
         msgs.append(num / (den + _EPS))
     att = jnp.concatenate(msgs, axis=0)                     # (P, C)
 

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_precision import FORWARD_PRECISION
+from .kernel_precision import kernel_dot_01
 
 _BLK = 1024
 _EPS = 1e-8  # torch nn.CosineSimilarity eps (model.py:276)
@@ -69,10 +69,10 @@ def _kernel(nv, c, n_groups, sampled_ref, gsum_ref, out_ref):
     slots = pair_slots(nv)
 
     def group_sum(x):
-        # (BLK, C) @ (C, G) 0/1 matrix: exact per-group reduction on the MXU
-        return jax.lax.dot_general(
-            x, gsum_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=FORWARD_PRECISION)
+        # (BLK, C) @ (C, G) 0/1 matrix: exact per-group reduction on the
+        # MXU via the 3-way value split (kernel_dot_01) — precision-mode-
+        # independent, 3 bf16 passes, exact up to f32 accumulation order
+        return kernel_dot_01(x, gsum_ref[:], (((1,), (0,)), ((), ())))
 
     acc = jnp.zeros((blk, n_groups), f32)
     for p, (i, j) in enumerate(pairs):

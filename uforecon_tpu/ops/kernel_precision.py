@@ -1,37 +1,107 @@
 """Forward matmul precision for the fused render kernels.
 
-The fused kernels' dot_generals default to ``Precision.HIGHEST`` (true-f32
-MXU passes): TPU's default precision rounds dot inputs to bf16, and a
-~0.3% forward-vs-backward inconsistency through the exp(10s)-scaled NeuS
-sigmoids was measured to destabilize render training (the custom-VJP
-backward is the pure-JAX reference running true f32).
+The fused kernels' dot_generals default to true-f32 MXU passes
+(``Precision.HIGHEST``): TPU's default precision rounds dot inputs to
+bf16, and a ~0.3% forward-vs-backward inconsistency through the
+exp(10s)-scaled NeuS sigmoids was measured to destabilize render
+training (the custom-VJP backward is the pure-JAX reference running
+true f32).
 
-``UFO_KERNEL_PRECISION=high`` selects ``Precision.HIGH`` (3-pass bf16x3,
-~1e-6 relative forward error) for an on-chip accuracy/throughput A/B:
-HIGHEST costs ~12% end-to-end render throughput vs the unfixed default,
-and bf16x3 halves the extra MXU passes. The knob covers ONLY the fused
-forward kernels — the reference-VJP backward always runs true f32, and a
-1e-6 fwd/bwd inconsistency is harmless (the measured failure threshold
-was ~3e-3).
+``UFO_KERNEL_PRECISION=high`` selects a hand-rolled bf16x3 split
+(~1e-6 relative forward error) for an on-chip accuracy/throughput A/B:
+HIGHEST costs 6 bf16 MXU passes per f32xf32 dot, bf16x3 costs 3. The
+split must be written by hand here because Mosaic cannot lower
+``lax.Precision.HIGH`` inside a ``pallas_call`` (measured on-chip:
+``NotImplementedError: Unsupported dot precision: HIGH``), while plain
+bf16 dots with f32 accumulation are the MXU's native mode.
 
-Read once at import time: jit traces cache the chosen constant, so flip
-the env var between processes, not mid-run.
+The knob covers ONLY the fused forward kernels — the reference-VJP
+backward always runs true f32, and a 1e-6 fwd/bwd inconsistency is
+harmless (the measured failure threshold was ~3e-3).
+
+Read once at import time: jit traces cache the chosen mode, so flip the
+env var between processes, not mid-run.
 """
 from __future__ import annotations
 
 import os
 
 import jax
+import jax.numpy as jnp
 
-_NAMES = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-}
+_MODES = ("highest", "high")
 
 _raw = os.environ.get("UFO_KERNEL_PRECISION", "highest").lower()
-if _raw not in _NAMES:
+if _raw not in _MODES:
     raise ValueError(
-        f"UFO_KERNEL_PRECISION={_raw!r}: expected one of {sorted(_NAMES)}")
+        f"UFO_KERNEL_PRECISION={_raw!r}: expected one of {sorted(_MODES)}")
 
-#: The precision constant every fused forward kernel matmul uses.
-FORWARD_PRECISION: jax.lax.Precision = _NAMES[_raw]
+#: Which forward-dot strategy every fused kernel matmul uses.
+KERNEL_PRECISION_MODE: str = _raw
+
+#: Kept for introspection/tests: the XLA precision the mode corresponds to.
+FORWARD_PRECISION: jax.lax.Precision = (
+    jax.lax.Precision.HIGHEST if _raw == "highest" else jax.lax.Precision.HIGH)
+
+
+def kernel_dot(x, y, dimension_numbers):
+    """f32-accumulating dot for Pallas kernel bodies, honoring the mode.
+
+    highest — ``Precision.HIGHEST`` (exact f32, 6 bf16 MXU passes).
+    high    — manual bf16x3: x = xh + xl, y = yh + yl with bf16 halves;
+              xh@yh + xh@yl + xl@yh drops only the O(2^-16) xl@yl term.
+              Three native bf16 MXU passes; lowers under Mosaic where
+              ``Precision.HIGH`` does not.
+
+    Only ``dimension_numbers`` with empty batch dims are used by callers;
+    the split itself is shape-agnostic.
+    """
+    f32 = jnp.float32
+    if KERNEL_PRECISION_MODE == "highest":
+        return jax.lax.dot_general(
+            x, y, dimension_numbers,
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+    bf16 = jnp.bfloat16
+    x = x.astype(f32)
+    y = y.astype(f32)
+    xh = x.astype(bf16)
+    xl = (x - xh.astype(f32)).astype(bf16)
+    yh = y.astype(bf16)
+    yl = (y - yh.astype(f32)).astype(bf16)
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers, preferred_element_type=f32)
+
+    return d(xh, yh) + d(xh, yl) + d(xl, yh)
+
+
+def kernel_dot_01(x, y01, dimension_numbers):
+    """f32-accurate dot against an exactly-bf16-representable operand.
+
+    For 0/1 group-sum / one-hot matrices only the VALUE side needs
+    splitting: a 3-way Fast2Sum bf16 decomposition (see
+    ops/exact_onehot.py for the exactness argument) against the exact
+    0/1 operand reproduces the f32 contraction up to f32 accumulation
+    order in three single-pass bf16 MXU dots — half HIGHEST's passes,
+    independent of UFO_KERNEL_PRECISION, and Mosaic-lowerable inside
+    pallas_call in every mode (bf16x2 of the value side is NOT enough
+    here: the contracted products carry full f32 mantissas and cancel,
+    which a 2-way split turns into ~1e-2 relative error on near-zero
+    cosines).
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    x = x.astype(f32)
+    hi = x.astype(bf16)
+    rem = x - hi.astype(f32)
+    mid = rem.astype(bf16)
+    lo = (rem - mid.astype(f32)).astype(bf16)
+    yb = y01.astype(bf16)
+
+    def d(a):
+        return jax.lax.dot_general(
+            a, yb, dimension_numbers, preferred_element_type=f32)
+
+    return d(hi) + d(mid) + d(lo)
