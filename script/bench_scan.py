@@ -1,0 +1,91 @@
+"""Per-scan depth-render latency on the chip (BASELINE's second metric).
+
+The reference eval protocol renders each scan as test_n_view=3 depth maps:
+for every reference view it re-runs the full encoder (build_pairs ->
+TransMVSNet -> get_match_feat -> MVSVolume, reference code1/model.py:779-802)
+and then renders all 800x640 rays in 800-ray chunks (model.py:814). One
+scan therefore costs 3 x (encode + 512k-ray render). The RTX-3090 anchor
+is ~39 s/view render + ~2 s/view encode => ~123 s/scan.
+
+Prints ONE json line:
+  {"metric": "scan_depth_render_latency_s", "value": ..., "unit": "s/scan",
+   "encode_s_per_view": ..., "render_s_per_view": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the speedup over the 3090-implied 123 s/scan (>1 is
+faster). Shapes/workload identical to bench.py (which measures the render
+phase alone as rays/s).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    h = int(os.environ.get("BENCH_H", 640))
+    w = int(os.environ.get("BENCH_W", 800))
+    n_views = int(os.environ.get("BENCH_VIEWS", 3))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+
+    import jax
+
+    from bench import _build_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+    from uforecon_tpu.parallel.sharding import make_mesh
+    from uforecon_tpu.pipeline.renderer import SceneRenderer
+
+    cfg = Config(
+        extract_geometry=True,
+        test_sample_coarse=64,
+        test_sample_fine=64,
+        volume_type="correlation",
+    )
+    scene, ray_d = _build_scene(h, w, n_views)
+
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, scene, ray_d[:64], key)
+    renderer = SceneRenderer(cfg, variables, mesh=make_mesh(1), chunk=chunk)
+
+    n = ray_d.shape[0]
+    near = np.full(n, float(scene.near), np.float32)
+    far = np.full(n, float(scene.far), np.float32)
+
+    # warmup / compile both programs
+    enc = renderer.encode(scene)
+    jax.block_until_ready(jax.tree_util.tree_leaves(enc)[0])
+    out = renderer.render_rays(scene, enc, np.asarray(ray_d), near, far, key)
+    assert np.all(np.isfinite(out["depth"]))
+
+    def time_best(fn, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            fn(i)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    enc_s = time_best(lambda i: jax.block_until_ready(
+        jax.tree_util.tree_leaves(renderer.encode(scene))[0]))
+    rnd_s = time_best(lambda i: renderer.render_rays(
+        scene, enc, np.asarray(ray_d), near, far, jax.random.PRNGKey(i)))
+
+    scan_s = n_views * (enc_s + rnd_s)
+    baseline_scan_s = 123.0  # 3 views x (39 s render + 2 s encode) on a 3090
+    print(json.dumps({
+        "metric": "scan_depth_render_latency_s",
+        "value": round(scan_s, 2),
+        "unit": "s/scan",
+        "encode_s_per_view": round(enc_s, 2),
+        "render_s_per_view": round(rnd_s, 2),
+        "vs_baseline": round(baseline_scan_s / scan_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
