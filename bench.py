@@ -89,7 +89,8 @@ def main():
     }))
 
 
-def _fail_fast_if_tunnel_down():
+def _fail_fast_if_tunnel_down(metric="depth_render_rays_per_sec_per_chip",
+                              unit="rays/s"):
     """When the axon relay is dead, device queries/compiles hang forever.
 
     Probe with a real tiny computation in a SUBPROCESS under a timeout —
@@ -122,9 +123,9 @@ def _fail_fast_if_tunnel_down():
         ok, err = False, "probe compute timed out"
     if not ok:
         print(json.dumps({
-            "metric": "depth_render_rays_per_sec_per_chip",
+            "metric": metric,
             "value": 0.0,
-            "unit": "rays/s",
+            "unit": unit,
             "vs_baseline": 0.0,
             "error": f"tpu tunnel unusable: {err}",
         }))

@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main():
+    from bench import _build_scene, _fail_fast_if_tunnel_down
+
+    _fail_fast_if_tunnel_down(metric="scan_depth_render_latency_s",
+                              unit="s/scan")
     h = int(os.environ.get("BENCH_H", 640))
     w = int(os.environ.get("BENCH_W", 800))
     n_views = int(os.environ.get("BENCH_VIEWS", 3))
@@ -33,17 +37,20 @@ def main():
 
     import jax
 
-    from bench import _build_scene
     from uforecon_tpu.config import Config
     from uforecon_tpu.models.uforecon import UFORecon
     from uforecon_tpu.parallel.sharding import make_mesh
     from uforecon_tpu.pipeline.renderer import SceneRenderer
 
+    # same BENCH_FUSED A/B knob as bench.py (glue kernels on/off)
+    fused_glue = os.environ.get("BENCH_FUSED", "auto")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
+        fused_similarity=fused_glue,
+        fused_volume_fusion=fused_glue,
     )
     scene, ray_d = _build_scene(h, w, n_views)
 

@@ -158,3 +158,52 @@ def test_learn_sanity_pipeline_smoke(tmp_path):
     r = ls.make_renderer(cfg, variables)
     err = ls.render_depth_error(r, ds[0])
     assert np.isfinite(err)
+
+
+def test_batch2_joint_bn_delta_quantified():
+    """VERDICT r2 item 8: quantify the reference's batch>1 BN semantics.
+
+    Reference batch_size=2 (main.py:43) collates two scenes and runs the
+    frozen-but-train-mode encoder jointly through BatchNorm
+    (model.py:492-502) — BN normalizes with statistics computed ACROSS both
+    scenes. Our ``fit()`` instead accumulates per-scene gradients
+    (pipeline/fit.py) with eval-mode (running-stat) BN, whose outputs are
+    scene-independent by construction. This test measures, on the reference
+    FeatureNet itself, how much joint-batch train-mode BN perturbs one
+    scene's features relative to running it alone — the delta our
+    accumulation semantics does NOT reproduce (documented in PARITY.md).
+    """
+    import pytest
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree unavailable")
+    from helpers import install_reference_stubs
+
+    install_reference_stubs()
+    import importlib
+
+    import torch
+
+    module = importlib.import_module("code1.encoder_utils.fmt.module")
+    torch.manual_seed(0)
+    net = module.FeatureNet(base_channels=8).train()
+
+    rng = np.random.default_rng(0)
+    scene_a = torch.from_numpy(
+        rng.random((3, 3, 32, 32)).astype(np.float32))  # 3 views
+    scene_b = torch.from_numpy(
+        rng.random((3, 3, 32, 32)).astype(np.float32) * 2.0)  # brighter scene
+
+    with torch.no_grad():
+        alone = net(scene_a)["stage1"]
+        joint = net(torch.cat([scene_a, scene_b]))["stage1"][:3]
+
+    delta = (alone - joint).abs().max().item()
+    scale = alone.abs().max().item()
+    rel = delta / scale
+    # the delta is REAL (train-mode BN couples scenes)...
+    assert rel > 1e-4, (
+        "joint-batch BN unexpectedly scene-independent; if torch semantics "
+        "changed, drop the PARITY.md note")
+    # ...and bounded: normalization shifts, not feature destruction
+    assert rel < 1.0, f"joint-BN delta unexpectedly large: {rel}"

@@ -374,12 +374,42 @@ def test_ray_transformer_matches_reference(ref_env, rng):
         want_srdf.numpy().reshape(rn, sn), rtol=3e-3, atol=3e-4)
 
 
+# ---------------------------------------------------------------------------
+# CAPSTONE family: full render_chunk vs reference UFORecon.infer
+# (model.py:393-482) on a synthetic scene with shared weights — the
+# chamfer-within-2% proxy, parametrized over the reference's live configs
+# (VERDICT r2 item 6): correlation default, f32-volume tightened, the
+# featuregrid volume path, 5 source views, use_dir_srdf, and coarse-only.
+# ---------------------------------------------------------------------------
+
+CAPSTONE_SPECS = {
+    # our packed volumes are stored bf16 (encode head) -> ~1e-2 tolerance
+    "default": {},
+    # f32 volume storage isolates the bf16 packing as the ONLY loose-
+    # tolerance cause: everything else matches to ~1e-3
+    "f32vol_tight": dict(volume_dtype="float32",
+                         tol_rgb=(5e-3, 2e-3), tol_depth=(2e-3, 5e-3),
+                         tol_srdf=(5e-3, 5e-3)),
+    "featuregrid": dict(volume_type="featuregrid", volume_reso=16,
+                        mvs_depth_guide=0, depth_pos_encoding=False),
+    "views5": dict(n_views=5),
+    "dir_srdf": dict(use_dir_srdf=True),
+    "coarse_only": dict(coarse_only=True),
+}
+
+
 @pytest.mark.slow
-def test_render_chunk_matches_reference_infer(ref_env, rng):
-    """CAPSTONE: full render_chunk vs reference UFORecon.infer
-    (model.py:393-482) on a synthetic scene with shared weights —
-    extract-geometry path, deterministic sampling (RNG patched to the same
-    stratified draws on both sides). This is the chamfer-within-2% proxy."""
+@pytest.mark.parametrize("spec_name", sorted(CAPSTONE_SPECS))
+def test_render_chunk_matches_reference_infer(ref_env, rng, spec_name):
+    _run_capstone(rng, **CAPSTONE_SPECS[spec_name])
+
+
+def _run_capstone(rng, *, n_views=3, volume_type="correlation",
+                  volume_reso=96, mvs_depth_guide=1, depth_pos_encoding=True,
+                  use_dir_srdf=False, coarse_only=False,
+                  volume_dtype="bfloat16",
+                  tol_rgb=(0.05, 0.02), tol_depth=(0.02, 0.05),
+                  tol_srdf=(0.05, 0.05)):
     import argparse
     import importlib
     from unittest import mock
@@ -400,22 +430,92 @@ def test_render_chunk_matches_reference_infer(ref_env, rng):
         share_cr=False, grad_method="detach", patch_size=1, sW=1, sH=1,
         train_ray_num=64, extract_geometry=True, test_sample_coarse=NC,
         test_sample_fine=NF, coarse_sample=NC, fine_sample=NF,
-        volume_type="correlation", volume_reso=96, mvs_depth_guide=1,
-        depth_pos_encoding=True, explicit_similarity=True,
-        use_dir_srdf=False, test_coarse_only=False, uforecon_lr=1e-4,
-        test_n_view=3)
+        volume_type=volume_type, volume_reso=volume_reso,
+        mvs_depth_guide=mvs_depth_guide,
+        depth_pos_encoding=depth_pos_encoding, explicit_similarity=True,
+        use_dir_srdf=use_dir_srdf, test_coarse_only=coarse_only,
+        uforecon_lr=1e-4, test_n_view=n_views)
     ref = model_mod.UFORecon(args).eval()
+    if volume_type == "featuregrid":
+        # Reference quirk (PARITY.md): model.py:59 builds RayTransformer with
+        # its default fea_volume_dim=24, but the featuregrid volume has 16
+        # channels (cnn3d.py:73) — the shipped featuregrid config crashes on
+        # a d_model mismatch. Repair with the correct dim on both sides.
+        rt_mod = importlib.import_module("code1.ray_transformer")
+        ref.ray_transformer = rt_mod.RayTransformer(args=args,
+                                                    fea_volume_dim=16)
+        ref = ref.eval()
+    if use_dir_srdf:
+        # Reference quirk (PARITY.md): use_dir_srdf is doubly unrunnable —
+        # include_input=True makes d_model a prime 107 (no 8-head split
+        # exists, ray_transformer.py:113,135) and the radiance-weight Linear
+        # is sized WITHOUT dirdim while its input includes it
+        # (ray_transformer.py:159 vs :311). Repair identically to ours:
+        # dir PE without raw-input passthrough (24d) + a radiance head that
+        # accepts the dir-extended view features.
+        import torch.nn as tnn
+
+        rt_mod = importlib.import_module("code1.ray_transformer")
+        orig_pe = rt_mod.PositionalEncoding_NeRF
+
+        class PatchedPE(orig_pe):
+            def __init__(self, num_freqs=6, d_in=3,
+                         freq_factor=np.pi, include_input=False):
+                super().__init__(num_freqs, d_in, freq_factor,
+                                 include_input=False)
+
+        with mock.patch.object(rt_mod, "PositionalEncoding_NeRF", PatchedPE):
+            new_rt = rt_mod.RayTransformer(args=args)
+        d_rad = 32 + 24 + 16 + 8 + 24 + 3  # d_view(+dir24) + dir_relative
+        new_rt.linear_radianceweight_1_softmax = tnn.Sequential(
+            tnn.Linear(d_rad, 16), tnn.ReLU(inplace=True),
+            tnn.Linear(16, 8), tnn.ReLU(inplace=True), tnn.Linear(8, 1))
+        ref.ray_transformer = new_rt
+        ref = ref.eval()
+        # Third crash site: forward REBINDS dir_relative to its PE'd form
+        # (ray_transformer.py:278-281), so the radiance rearrange at :310
+        # gets a 3-dim tensor. Intended semantics (per the Linear's declared
+        # input, img+3+...): radiance consumes the RAW relative direction.
+        # Restore it by stashing the first rearrange's output and serving it
+        # at the second call.
+        if not getattr(rt_mod.rearrange, "_dir_repair", False):
+            orig_rearrange = rt_mod.rearrange
+            _dir_pattern = "B NV RN SN Dim3 -> B RN SN NV Dim3"
+            _stash = {}
+
+            def patched_rearrange(x, pattern, **kw):
+                if pattern == _dir_pattern:
+                    if x.dim() == 5:
+                        _stash["dir"] = orig_rearrange(x, pattern, **kw)
+                        return _stash["dir"]
+                    return _stash["dir"]  # rebound PE'd tensor: want raw
+                return orig_rearrange(x, pattern, **kw)
+
+            patched_rearrange._dir_repair = True
+            # passthrough-identical for every well-formed call (the 3-dim
+            # case only arises in the broken dir mode), so the patch can
+            # stay installed for the rest of the session
+            rt_mod.rearrange = patched_rearrange
     _randomize(ref, rng, scale=0.15)
     with torch.no_grad():
         for name, p in ref.named_parameters():
             if "conv_offset_mask" in name:
                 p.mul_(0.1)
+            # conv3dBNReLU convs carry a bias that eval-mode BN makes
+            # redundant; our Conv3dBnRelu is bias-free — zero it for parity
+            if "volume_regularization" in name and name.endswith("conv.bias"):
+                p.zero_()
         ref.deviation_network.variance.fill_(0.3)
 
     cfg = Config(ndepths=(8, 8, 8), test_sample_coarse=NC,
                  test_sample_fine=NF, extract_geometry=True,
-                 volume_type="correlation", fused_point_head="never")
-    sample = make_synthetic_sample(n_views=3, h=32, w=32, ndepth=16,
+                 volume_type=volume_type, volume_reso=volume_reso,
+                 mvs_depth_guide=mvs_depth_guide,
+                 depth_pos_encoding=depth_pos_encoding,
+                 use_dir_srdf=use_dir_srdf, test_coarse_only=coarse_only,
+                 test_n_view=n_views, volume_dtype=volume_dtype,
+                 fused_point_head="never")
+    sample = make_synthetic_sample(n_views=n_views, h=32, w=32, ndepth=16,
                                    start_idx=0)
     scene, extras = scene_inputs_from_sample(sample)
     ours = UFORecon(cfg)
@@ -425,7 +525,7 @@ def test_render_chunk_matches_reference_infer(ref_env, rng):
     variables = ours.init(key, scene, ray_d, key)
 
     sd = {k: t.numpy() for k, t in ref.state_dict().items()}
-    p, bs, report = convert_named(sd, uforecon_name_map(),
+    p, bs, report = convert_named(sd, uforecon_name_map(volume_type=volume_type),
                                   variables["params"],
                                   variables["batch_stats"])
     assert not report["unmatched_torch"], report["unmatched_torch"]
@@ -459,7 +559,7 @@ def test_render_chunk_matches_reference_infer(ref_env, rng):
         out = ours.apply(
             {"params": p, "batch_stats": bs}, scene, enc, ray_d, key,
             near_per_ray=jnp.asarray(near), far_per_ray=jnp.asarray(far),
-            method=ours.render_chunk)
+            coarse_only=coarse_only, method=ours.render_chunk)
 
     # ---- reference: encoder block (model.py:779-815) + infer ----
     def t(x):
@@ -495,24 +595,31 @@ def test_render_chunk_matches_reference_infer(ref_env, rng):
         for i in range(len(feat_backbone)):
             feat_backbone[i]["stage1"] = feat_backbone[i]["stage1"][0:1]
         match = ref.transmvsnet.get_match_feat(feat_backbone,
-                                               cur_n_src_views=3)
+                                               cur_n_src_views=n_views)
         src_feat = torch.stack([f["stage1"] for f in feat_backbone], dim=1)
-        fv = {}
-        for s in ("stage1", "stage2", "stage3"):
-            f_, w_ = ref.build_mvs_volume(batch, vol_info[s]["cost_volume"])
-            fv[s] = {"feature_volume": f_, "weight_volume": w_}
-        batch["depth_info"] = (vol_info["stage3"]["depth"]
-                               * batch["scale_factor"]).unsqueeze(0)
+        if volume_type == "featuregrid":
+            fv = ref.build_feature_volume(batch, src_feat)
+        else:
+            fv = {}
+            for s in ("stage1", "stage2", "stage3"):
+                f_, w_ = ref.build_mvs_volume(batch, vol_info[s]["cost_volume"])
+                fv[s] = {"feature_volume": f_, "weight_volume": w_}
+        if mvs_depth_guide > 0:
+            batch["depth_info"] = (vol_info["stage3"]["depth"]
+                                   * batch["scale_factor"]).unsqueeze(0)
         ray_idx = torch.arange(rn)[None]
         srdf_r, _, depth_r, rgb_r = ref.infer(
             batch=batch, ray_idx=ray_idx, source_imgs_feat=src_feat,
             feature_volume=fv, match_feature=match, extract_geometry=True,
             is_train=False)
 
-    # our packed volumes are stored bf16 (encode head) -> ~1e-2 tolerance
-    np.testing.assert_allclose(np.asarray(out["fine"]["rgb"]),
-                               rgb_r[0].numpy(), rtol=0.05, atol=0.02)
-    np.testing.assert_allclose(np.asarray(out["fine"]["depth"]),
-                               depth_r[0].numpy(), rtol=0.02, atol=0.05)
-    np.testing.assert_allclose(np.asarray(out["fine"]["srdf"]),
-                               srdf_r[0].numpy(), rtol=0.05, atol=0.05)
+    got = out["coarse"] if coarse_only else out["fine"]
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               rgb_r[0].numpy(),
+                               rtol=tol_rgb[0], atol=tol_rgb[1])
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               depth_r[0].numpy(),
+                               rtol=tol_depth[0], atol=tol_depth[1])
+    np.testing.assert_allclose(np.asarray(got["srdf"]),
+                               srdf_r[0].numpy().reshape(rn, -1),
+                               rtol=tol_srdf[0], atol=tol_srdf[1])

@@ -106,6 +106,10 @@ class Config:
 
     # ---- TPU execution ------------------------------------------------
     compute_dtype: str = "float32"       # float32 | bfloat16 for network matmuls
+    volume_dtype: str = "bfloat16"       # storage dtype of the corner-packed
+                                         # correlation volumes (bf16: 8x corner
+                                         # duplication must fit HBM; float32
+                                         # for tight golden-parity runs)
     fused_point_head: str = "auto"       # auto | always | never (Pallas per-point head)
     fused_similarity: str = "auto"       # auto | always | never (Pallas grouped cosine)
     fused_volume_fusion: str = "auto"    # auto | always | never (Pallas view fusion)

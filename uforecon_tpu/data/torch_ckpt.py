@@ -377,6 +377,52 @@ def costregnetweight_name_map(tp="", fp=()):
     return m
 
 
+def featurevolume_name_map(tp="", fp=()):
+    """code1/feature_volume.py FeatureVolume (featuregrid path) -> ours.
+
+    Reference submodules: ``linear`` (3 Linears), ``volume_regularization``
+    (cnn3d.py:42-73 — conv3dBNReLU uses attribute ``.BN``, capital; its
+    convs carry a bias that eval-mode BN makes redundant — transplant tests
+    zero it on the torch side since our Conv3dBnRelu is bias-free).
+    """
+    m = {}
+    for t_i, f_i in [(0, 0), (2, 1), (4, 2)]:
+        m.update(_plain(f"{tp}linear.{t_i}", fp + ("MLP_0", f"Dense_{f_i}")))
+
+    def cbr(t, f, bias_ok=False):
+        reg = fp + ("VolumeRegularization_0",)
+        out = {
+            f"{tp}volume_regularization.{t}.conv.weight":
+                ("params", reg + (f, "Conv_0" if not f.startswith("Deconv")
+                                  else "ConvTranspose_0", "kernel")),
+            f"{tp}volume_regularization.{t}.BN.weight":
+                ("params", reg + (f, "BatchNorm_0", "scale")),
+            f"{tp}volume_regularization.{t}.BN.bias":
+                ("params", reg + (f, "BatchNorm_0", "bias")),
+            f"{tp}volume_regularization.{t}.BN.running_mean":
+                ("batch_stats", reg + (f, "BatchNorm_0", "mean")),
+            f"{tp}volume_regularization.{t}.BN.running_var":
+                ("batch_stats", reg + (f, "BatchNorm_0", "var")),
+        }
+        if bias_ok:  # conv3dBNReLU convs have a (BN-redundant) bias
+            out[f"{tp}volume_regularization.{t}.conv.bias"] = None
+        return out
+
+    m.update(cbr("cnn3d0", "Conv3dBnRelu_0", bias_ok=True))
+    m.update(cbr("cnn3d1.0", "Conv3dBnRelu_1", bias_ok=True))
+    m.update(cbr("cnn3d1.1", "Conv3dBnRelu_2", bias_ok=True))
+    m.update(cbr("cnn3d2.0", "Conv3dBnRelu_3", bias_ok=True))
+    m.update(cbr("cnn3d2.1", "Conv3dBnRelu_4", bias_ok=True))
+    m.update(cbr("cnn3d3.0", "Conv3dBnRelu_5", bias_ok=True))
+    m.update(cbr("cnn3d3.1", "Conv3dBnRelu_6", bias_ok=True))
+    m.update(cbr("d_cnn3d1", "Deconv3dBnRelu_0"))
+    m.update(cbr("d_cnn3d2", "Deconv3dBnRelu_1"))
+    m.update(cbr("d_cnn3d3", "Deconv3dBnRelu_2"))
+    m.update(_plain(tp + "volume_regularization.last",
+                    fp + ("VolumeRegularization_0", "Conv_0")))
+    return m
+
+
 def ray_transformer_name_map(tp="", fp=()):
     """code1/ray_transformer.py RayTransformer -> ours."""
     m = {}
@@ -418,13 +464,18 @@ def transmvsnet_name_map(tp="", fp=(), share_cr=False):
     return m
 
 
-def uforecon_name_map(share_cr=False):
+def uforecon_name_map(share_cr=False, volume_type="correlation"):
     """Full reference UFORecon (model.py attribute names) -> our UFORecon."""
     m = {}
     m.update(transmvsnet_name_map("transmvsnet.", ("matcher",),
                                   share_cr=share_cr))
-    m.update(costregnetweight_name_map("feature_volume.cost_reg_2.",
-                                       ("mvs_volume",)))
+    if volume_type == "featuregrid":
+        # reference model.py:61-62: self.feature_volume = FeatureVolume(reso)
+        m.update(featurevolume_name_map("feature_volume.",
+                                        ("feature_volume",)))
+    else:
+        m.update(costregnetweight_name_map("feature_volume.cost_reg_2.",
+                                           ("mvs_volume",)))
     m.update(ray_transformer_name_map("ray_transformer.",
                                       ("ray_transformer",)))
     m["deviation_network.variance"] = ("params", ("variance",))

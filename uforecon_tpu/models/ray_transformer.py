@@ -210,7 +210,14 @@ class RayTransformer(nn.Module):
     def d_view(self) -> int:
         d = self.img_feat_dim + self.fea_volume_dim + self.sim_feat_fix + self.depth_dim
         if self.use_dir_srdf:
-            d += 27
+            # 24, not the reference's 27: include_input=True makes d_model a
+            # PRIME 107 that no head count divides — the reference's own
+            # use_dir_srdf crashes in its 8-head view split AND in the
+            # radiance-weight Linear sized without dirdim
+            # (ray_transformer.py:113,159 — see PARITY.md). We repair to the
+            # minimal working design: dir PE without the raw-direction
+            # passthrough (4 freqs x 2 x 3 = 24; d_view 104 = 8 x 13).
+            d += 24
         return d
 
     def setup(self):
@@ -308,7 +315,9 @@ class RayTransformer(nn.Module):
             pe = pe_nv.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
             x = jnp.concatenate([x, pe], axis=-1)
         if self.use_dir_srdf:
-            dpe = nerf_posenc(dir_relative, num_freqs=4, include_input=True)
+            # include_input=False — see d_view: the reference's 27-d variant
+            # is unrunnable (prime d_model); 24-d is the repaired design
+            dpe = nerf_posenc(dir_relative, num_freqs=4, include_input=False)
             dpe = dpe.transpose(1, 2, 0, 3).reshape(rn * sn, nv, -1)
             x = jnp.concatenate([x, dpe], axis=-1)
 

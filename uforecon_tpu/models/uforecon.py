@@ -136,10 +136,13 @@ class UFORecon(nn.Module):
                 # tensor pads 14x on its 9-channel minor dim (1.9GB at
                 # train res); per-rotation it is transient and the scan
                 # output is already the 72-channel packed layout
+                vol_dtype = (jnp.float32 if c.volume_dtype == "float32"
+                             else jnp.bfloat16)
+
                 def head(mdl, carry, cv_r):
                     f, w = mdl.mvs_volume(cv_r[None, ..., None])
                     fw = jnp.concatenate([f, w], axis=-1)
-                    return carry, pack_volume_corners(fw).astype(jnp.bfloat16)[0]
+                    return carry, pack_volume_corners(fw).astype(vol_dtype)[0]
 
                 scan = nn.scan(
                     nn.remat(head, prevent_cse=False),
