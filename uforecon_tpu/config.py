@@ -111,8 +111,23 @@ class Config:
                                          # duplication must fit HBM; float32
                                          # for tight golden-parity runs)
     fused_point_head: str = "auto"       # auto | always | never (Pallas per-point head)
-    fused_similarity: str = "auto"       # auto | always | never (Pallas grouped cosine)
-    fused_volume_fusion: str = "auto"    # auto | always | never (Pallas view fusion)
+    # The two round-2 "glue" kernels (grouped cosine, cross-view volume
+    # fusion) measured SLOWER than XLA's own fusions on chip (round-3 A/B:
+    # 24.8k rays/s off vs 22.7k on at HIGHEST; 26.6k vs 24.2k at high) —
+    # XLA already fuses this elementwise glue into neighbors, and the
+    # pallas_call boundary blocks that. Kept (tested + parity-gated) for
+    # layouts where XLA fusion regresses; default off.
+    fused_similarity: str = "never"      # auto | always | never (Pallas grouped cosine)
+    fused_volume_fusion: str = "never"   # auto | always | never (Pallas view fusion)
+    # Tile-local correlation-volume gathers for full-image rendering
+    # (ops/brick_gather.py + ops/brick_plan.py): rays render in brick_tile^2
+    # image tiles and each (tile x z-segment) samples a bulk-copied frustum
+    # sub-brick instead of scattered HBM rows — measured 2.2-2.5x on the
+    # dominant gather bucket, bit-identical values. 'auto' = on TPU when the
+    # host planner certifies covering dims, 'never' = always flat gathers.
+    volume_brick: str = "auto"           # auto | never
+    brick_tile: int = 32                 # ray tile side (tile^2 = chunk rays)
+    brick_n_seg: int = 4                 # z segments per volume
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 

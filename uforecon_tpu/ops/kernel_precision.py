@@ -7,13 +7,20 @@ exp(10s)-scaled NeuS sigmoids was measured to destabilize render
 training (the custom-VJP backward is the pure-JAX reference running
 true f32).
 
-``UFO_KERNEL_PRECISION=high`` selects a hand-rolled bf16x3 split
-(~1e-6 relative forward error) for an on-chip accuracy/throughput A/B:
-HIGHEST costs 6 bf16 MXU passes per f32xf32 dot, bf16x3 costs 3. The
-split must be written by hand here because Mosaic cannot lower
-``lax.Precision.HIGH`` inside a ``pallas_call`` (measured on-chip:
+``high`` (the default) is a hand-rolled bf16x3 split (~1e-6 relative
+forward error): HIGHEST costs 6 bf16 MXU passes per f32xf32 dot, bf16x3
+costs 3. The split must be written by hand here because Mosaic cannot
+lower ``lax.Precision.HIGH`` inside a ``pallas_call`` (measured on-chip:
 ``NotImplementedError: Unsupported dot precision: HIGH``), while plain
 bf16 dots with f32 accumulation are the MXU's native mode.
+
+``high`` is the default because the on-chip gate (script/chip_parity.py,
+round-3 run) measured fwd parity 1.3e-5 rgb max and coarse-loss grad
+tree rel-L2 7.2e-6 — three orders below the measured ~3e-3
+training-failure threshold — while the throughput A/B measured
+26.6k vs 24.8k rays/s (high vs highest, glue kernels off).
+``UFO_KERNEL_PRECISION=highest`` restores exact-f32 forward dots for
+tight golden-parity runs.
 
 The knob covers ONLY the fused forward kernels — the reference-VJP
 backward always runs true f32, and a 1e-6 fwd/bwd inconsistency is
@@ -31,7 +38,7 @@ import jax.numpy as jnp
 
 _MODES = ("highest", "high")
 
-_raw = os.environ.get("UFO_KERNEL_PRECISION", "highest").lower()
+_raw = os.environ.get("UFO_KERNEL_PRECISION", "high").lower()
 if _raw not in _MODES:
     raise ValueError(
         f"UFO_KERNEL_PRECISION={_raw!r}: expected one of {sorted(_MODES)}")
