@@ -36,16 +36,17 @@ def main():
     from uforecon_tpu.pipeline.renderer import SceneRenderer
     from uforecon_tpu.parallel.sharding import make_mesh
 
-    # BENCH_FUSED=never disables the glue kernels (grouped cosine, view
-    # fusion; the point/ray heads keep their own 'auto') for on-chip A/B
-    fused_glue = os.environ.get("BENCH_FUSED", "auto")
+    # BENCH_FUSED overrides the glue-kernel knobs (grouped cosine, view
+    # fusion; the point/ray heads keep their own 'auto') for on-chip A/B.
+    # Unset = the Config defaults ('never' — the measured-fastest setting).
+    fused_glue = os.environ.get("BENCH_FUSED")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
-        fused_similarity=fused_glue,
-        fused_volume_fusion=fused_glue,
+        **({"fused_similarity": fused_glue,
+            "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )
 
     # full-size synthetic scene (model weights random — throughput is
@@ -61,18 +62,33 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(enc)[0])
 
     n = ray_d.shape[0]
+    ray_d = np.asarray(ray_d)
     near = np.full(n, float(scene.near), np.float32)
     far = np.full(n, float(scene.far), np.float32)
 
+    # tile-local brick gathers, exactly as render_depth_view engages them
+    # (tile-major ray order + host covering-dims plan); BENCH_BRICK=never
+    # measures the flat-gather path for A/B
+    plan = None
+    if os.environ.get("BENCH_BRICK", "auto") == "auto":
+        plan = renderer._plan_bricks(scene, enc, ray_d, near, far, (h, w))
+    if plan is not None:
+        from uforecon_tpu.ops.brick_plan import tile_order
+
+        perm, _ = tile_order(h, w, cfg.brick_tile)
+        ray_d, near, far = ray_d[perm], near[perm], far[perm]
+
     # warmup / compile
-    out = renderer.render_rays(scene, enc, np.asarray(ray_d), near, far, key)
+    out = renderer.render_rays(scene, enc, ray_d, near, far, key,
+                               volume_brick=plan)
     assert np.all(np.isfinite(out["depth"]))
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = renderer.render_rays(
-            scene, enc, np.asarray(ray_d), near, far, jax.random.PRNGKey(i)
+            scene, enc, ray_d, near, far, jax.random.PRNGKey(i),
+            volume_brick=plan,
         )
         times.append(time.perf_counter() - t0)
     best = min(times)

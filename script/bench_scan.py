@@ -42,15 +42,16 @@ def main():
     from uforecon_tpu.parallel.sharding import make_mesh
     from uforecon_tpu.pipeline.renderer import SceneRenderer
 
-    # same BENCH_FUSED A/B knob as bench.py (glue kernels on/off)
-    fused_glue = os.environ.get("BENCH_FUSED", "auto")
+    # same BENCH_FUSED A/B knob as bench.py (glue kernels on/off); unset =
+    # the Config defaults ('never' — the measured-fastest setting)
+    fused_glue = os.environ.get("BENCH_FUSED")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
-        fused_similarity=fused_glue,
-        fused_volume_fusion=fused_glue,
+        **({"fused_similarity": fused_glue,
+            "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )
     scene, ray_d = _build_scene(h, w, n_views)
 
@@ -60,13 +61,24 @@ def main():
     renderer = SceneRenderer(cfg, variables, mesh=make_mesh(1), chunk=chunk)
 
     n = ray_d.shape[0]
+    ray_d = np.asarray(ray_d)
     near = np.full(n, float(scene.near), np.float32)
     far = np.full(n, float(scene.far), np.float32)
 
     # warmup / compile both programs
     enc = renderer.encode(scene)
     jax.block_until_ready(jax.tree_util.tree_leaves(enc)[0])
-    out = renderer.render_rays(scene, enc, np.asarray(ray_d), near, far, key)
+    # tile-local brick gathers, as in bench.py / render_depth_view
+    plan = None
+    if os.environ.get("BENCH_BRICK", "auto") == "auto":
+        plan = renderer._plan_bricks(scene, enc, ray_d, near, far, (h, w))
+    if plan is not None:
+        from uforecon_tpu.ops.brick_plan import tile_order
+
+        perm, _ = tile_order(h, w, cfg.brick_tile)
+        ray_d, near, far = ray_d[perm], near[perm], far[perm]
+    out = renderer.render_rays(scene, enc, ray_d, near, far, key,
+                               volume_brick=plan)
     assert np.all(np.isfinite(out["depth"]))
 
     def time_best(fn, reps=3):
@@ -80,7 +92,8 @@ def main():
     enc_s = time_best(lambda i: jax.block_until_ready(
         jax.tree_util.tree_leaves(renderer.encode(scene))[0]))
     rnd_s = time_best(lambda i: renderer.render_rays(
-        scene, enc, np.asarray(ray_d), near, far, jax.random.PRNGKey(i)))
+        scene, enc, ray_d, near, far, jax.random.PRNGKey(i),
+        volume_brick=plan))
 
     scan_s = n_views * (enc_s + rnd_s)
     baseline_scan_s = 123.0  # 3 views x (39 s render + 2 s encode) on a 3090

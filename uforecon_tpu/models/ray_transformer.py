@@ -34,6 +34,9 @@ def query_correlation_volume(
     volumes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
     near_far: Tuple[jnp.ndarray, jnp.ndarray],
     fused: str = "auto",
+    brick: Optional[Dict[str, Tuple[int, int]]] = None,
+    brick_n_seg: int = 4,
+    brick_n_tiles: int = 1,
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
 
@@ -47,6 +50,12 @@ def query_correlation_volume(
     that consumes the per-stage samples point-major in one pass
     (ops/fused_volume_fusion.py): 'auto' = on TPU, 'never' = the XLA
     chain below, 'always' = force (tests run the interpreter).
+
+    ``brick`` (stage -> static covering (BH, BW) dims from
+    ops/brick_plan.py) switches the per-stage sampling to tile-local brick
+    gathers (ops/brick_gather.py) — bit-identical values, 2.2-2.5x faster
+    on chip when the chunk's rays form ``brick_n_tiles`` coherent 2D image
+    tiles (script/bench_tile_gather.py).
 
     Args:
       volumes: stage -> corner-packed feat||weight volume
@@ -63,9 +72,20 @@ def query_correlation_volume(
 
     fws = []
     for stage, packed in volumes.items():
-        # packed (NV, D, h, w, 8*(8+1)): corner-packed feat||weight rows
-        fws.append(grid_sample_3d_packed(packed, xyz, align_corners=True,
-                                         padding_mode="zeros"))
+        # packed (NV, D, h, w, 8*C'): corner-packed feat||weight rows,
+        # C' = 9 (or 16 lane-padded, see pack_volume_corners corner_pad)
+        c_out = 9 if packed.shape[-1] == 128 else None
+        if brick is not None:
+            from ..ops.brick_gather import brick_sample_3d_packed
+
+            fws.append(brick_sample_3d_packed(
+                packed, xyz, brick[stage], n_seg=brick_n_seg,
+                n_tiles=brick_n_tiles, align_corners=True,
+                padding_mode="zeros", c_out=c_out))
+        else:
+            fws.append(grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                             padding_mode="zeros",
+                                             c_out=c_out))
 
     if fused == "always" or (fused == "auto"
                              and jax.default_backend() == "tpu"):

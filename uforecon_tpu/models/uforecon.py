@@ -105,11 +105,12 @@ class UFORecon(nn.Module):
     def encode(self, scene: SceneInputs, train: bool = False) -> EncoderOutputs:
         c = self.cfg
         h, w = scene.source_imgs.shape[-3:-1]
-        # FPN strides (/4) x CostRegNet U-Net levels (/4 at stage 1) — every
-        # reference resolution satisfies this; fail with a message instead
-        # of an opaque broadcast error deep in the pathway
-        assert h % 16 == 0 and w % 16 == 0, (
-            f"image dims must be multiples of 16, got {h}x{w}")
+        # FPN strides (/4) x CostRegNet's three stride-2 U-Net levels (/8 at
+        # stage 1) — every reference resolution (512x640, 800x640) satisfies
+        # this; fail with a message instead of an opaque broadcast error deep
+        # in the pathway (64x80 used to trip the skip-connection add)
+        assert h % 32 == 0 and w % 32 == 0, (
+            f"image dims must be multiples of 32, got {h}x{w}")
         enc = self.matcher(
             scene.source_imgs, scene.proj_matrices, scene.depth_values, train
         )
@@ -138,11 +139,18 @@ class UFORecon(nn.Module):
                 # output is already the 72-channel packed layout
                 vol_dtype = (jnp.float32 if c.volume_dtype == "float32"
                              else jnp.bfloat16)
+                # lane-pad each 9-ch corner block to 16 (rows = exactly 128
+                # lanes) when the brick path may engage: slicing a 72-lane
+                # volume inside the render loop forces full padded relayout
+                # copies (measured 7.03 GB HLO temps -> OOM); 128-lane rows
+                # slice in place. Samplers slice back to 9 (c_out).
+                corner_pad = 16 if c.volume_brick != "never" else None
 
                 def head(mdl, carry, cv_r):
                     f, w = mdl.mvs_volume(cv_r[None, ..., None])
                     fw = jnp.concatenate([f, w], axis=-1)
-                    return carry, pack_volume_corners(fw).astype(vol_dtype)[0]
+                    packed = pack_volume_corners(fw, corner_pad=corner_pad)
+                    return carry, packed.astype(vol_dtype)[0]
 
                 scan = nn.scan(
                     nn.remat(head, prevent_cse=False),
@@ -167,7 +175,8 @@ class UFORecon(nn.Module):
 
     # ------------------------------------------------------------------
     def _point_features(self, scene: SceneInputs, enc: EncoderOutputs,
-                        points: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                        points: jnp.ndarray,
+                        volume_brick=None) -> Dict[str, jnp.ndarray]:
         """Per-point half of sample2rgb (model.py:308-332): similarity +
         volume queries and the view-token transformer / radiance blend.
 
@@ -192,6 +201,8 @@ class UFORecon(nn.Module):
             fea_volume_feat = query_correlation_volume(
                 points, scene.source_poses, enc.volumes,
                 (scene.near, scene.far), fused=c.fused_volume_fusion,
+                brick=volume_brick, brick_n_seg=c.brick_n_seg,
+                brick_n_tiles=max(points.shape[0] // (c.brick_tile ** 2), 1),
             )
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_volume_feat = grid_sample_3d(
@@ -235,9 +246,14 @@ class UFORecon(nn.Module):
         near_per_ray: Optional[jnp.ndarray] = None,  # (RN,), else scene near
         far_per_ray: Optional[jnp.ndarray] = None,
         coarse_only: bool = False,
+        volume_brick: Optional[Dict[str, Tuple[int, int]]] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Coarse + importance-sampled fine rendering of one ray chunk
-        (reference model.py:393-482 infer)."""
+        (reference model.py:393-482 infer).
+
+        ``volume_brick`` (static, from ops/brick_plan.py) enables tile-local
+        correlation-volume gathers; callers must then pass rays in
+        ``cfg.brick_tile``-square tile-major order (pipeline/renderer.py)."""
         c = self.cfg
         rn = ray_d.shape[0]
         ray_o = jnp.broadcast_to(scene.ray_o, (rn, 3))
@@ -252,7 +268,7 @@ class UFORecon(nn.Module):
             k_coarse, ray_o, ray_d, n_coarse, near=near, far=far,
             sample_radius=c.sample_radius,
         )
-        pp_c = self._point_features(scene, enc, points)
+        pp_c = self._point_features(scene, enc, points, volume_brick)
         out_c = self._render_sequence(z_val, pp_c)
         if coarse_only:
             return {"coarse": out_c, "fine": out_c}
@@ -266,7 +282,7 @@ class UFORecon(nn.Module):
         # the per-point stage is sample-independent, so only the NEW fine
         # points are computed and the coarse outputs are re-used — the merge
         # becomes an output permutation by sorted z (identical math).
-        pp_f = self._point_features(scene, enc, points_f)
+        pp_f = self._point_features(scene, enc, points_f, volume_brick)
         z_cat = jnp.concatenate([z_val, z2], axis=1)
         order = jnp.argsort(z_cat, axis=1)
         # apply the sort permutation as a dense one-hot MXU contraction over

@@ -159,8 +159,9 @@ def grid_sample_2d_packed(
     return out.reshape((N,) + lead + (C,))
 
 
-def pack_volume_corners(vol: jnp.ndarray) -> jnp.ndarray:
-    """(N, D, H, W, C) -> (N, D, H, W, 8*C): entry (z, y, x) holds the
+def pack_volume_corners(vol: jnp.ndarray,
+                        corner_pad: int | None = None) -> jnp.ndarray:
+    """(N, D, H, W, C) -> (N, D, H, W, 8*C'): entry (z, y, x) holds the
     2x2x2 corner neighborhood starting at (z, y, x), zero-padded at the +1
     edges (matching 'zeros' padding for the high side).
 
@@ -168,13 +169,25 @@ def pack_volume_corners(vol: jnp.ndarray) -> jnp.ndarray:
     of eight: on TPU a gather row of C<=16 values pads to a full 128-lane
     tile, so 8 tiny rows cost ~16x the bytes of one 8C row. Use with
     grid_sample_3d_packed.
+
+    ``corner_pad`` zero-pads each corner block to C' = corner_pad channels
+    (e.g. 9 -> 16, making the packed row exactly 128 lanes). A lane-full
+    row lets XLA keep ONE layout for the volume across flat gathers AND the
+    brick path's dynamic_slice: measured on chip, slicing a 72-lane volume
+    inside the render chunk loop forces padded relayout copies of every
+    volume (7.03 GB of HLO temps -> OOM at 800x640), while 128-lane
+    volumes slice in place (0.07 GB temps). Samplers must then be told the
+    true channel count via ``c_out``.
     """
     parts = []
+    c = vol.shape[-1]
+    pad_c = 0 if corner_pad is None else corner_pad - c
+    assert pad_c >= 0, (corner_pad, c)
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
                 shifted = vol[:, dz:, dy:, dx:, :]
-                pad = ((0, 0), (0, dz), (0, dy), (0, dx), (0, 0))
+                pad = ((0, 0), (0, dz), (0, dy), (0, dx), (0, pad_c))
                 parts.append(jnp.pad(shifted, pad))
     return jnp.concatenate(parts, axis=-1)
 
@@ -184,6 +197,7 @@ def grid_sample_3d_packed(
     grid: jnp.ndarray,
     align_corners: bool = False,
     padding_mode: str = "zeros",
+    c_out: int | None = None,
 ) -> jnp.ndarray:
     """Trilinear sampling from a corner-packed volume (see
     pack_volume_corners). Bit-equivalent to grid_sample_3d on the unpacked
@@ -192,9 +206,11 @@ def grid_sample_3d_packed(
     Args:
       packed: (N, D, H, W, 8*C).
       grid:   (N, ..., 3) normalized (x, y, z) torch-order coordinates.
+      c_out:  true channel count when the pack used ``corner_pad`` (the
+              trailing C - c_out channels per corner are zero padding).
 
     Returns:
-      (N, ..., C).
+      (N, ..., c_out or C).
     """
     assert padding_mode in ("zeros", "border"), padding_mode
     N, D, H, W, C8 = packed.shape
@@ -242,7 +258,8 @@ def grid_sample_3d_packed(
                * (wy1 if dy else wy0)
                * (wx1 if dx else wx0))
         out = out + rows[..., c * C:(c + 1) * C] * wgt[..., None]
-    return out.reshape((N,) + lead + (C,))
+    out = out.reshape((N,) + lead + (C,))
+    return out if c_out is None else out[..., :c_out]
 
 
 def grid_sample_3d(

@@ -49,7 +49,8 @@ class SceneRenderer:
         return self._encode(self.variables, scene)
 
     # ------------------------------------------------------------------
-    def _build_render(self, n_rays_padded: int, coarse_only: bool):
+    def _build_render(self, n_rays_padded: int, coarse_only: bool,
+                      volume_brick=None):
         cfg = self.cfg
         model = self.model
         chunk = self.chunk
@@ -72,6 +73,7 @@ class SceneRenderer:
                     variables, scene, enc, rd_c, k,
                     near_per_ray=nr_c, far_per_ray=fr_c,
                     coarse_only=coarse_only,
+                    volume_brick=volume_brick,
                     method=model.render_chunk,
                 )
                 f = out["fine"]
@@ -108,6 +110,7 @@ class SceneRenderer:
         far: np.ndarray,                    # (N,)
         key: jax.Array,
         coarse_only: bool = False,
+        volume_brick=None,
     ) -> Dict[str, np.ndarray]:
         n = ray_d.shape[0]
         mult = self.chunk * self.n_dev
@@ -115,10 +118,13 @@ class SceneRenderer:
         near_p, _ = pad_to_multiple(np.asarray(near), mult)
         far_p, _ = pad_to_multiple(np.asarray(far), mult)
 
-        sig = (ray_d_p.shape[0], coarse_only)
+        brick_key = (None if volume_brick is None
+                     else tuple(sorted(volume_brick.items())))
+        sig = (ray_d_p.shape[0], coarse_only, brick_key)
         fn = self._render_fns.get(sig)
         if fn is None:
-            fn = self._render_fns[sig] = self._build_render(*sig)
+            fn = self._render_fns[sig] = self._build_render(
+                ray_d_p.shape[0], coarse_only, volume_brick)
 
         rgb, depth, opacity = fn(
             self.variables, scene, enc,
@@ -131,6 +137,33 @@ class SceneRenderer:
         }
 
     # ------------------------------------------------------------------
+    def _plan_bricks(self, scene, enc, ray_d, near, far, hw):
+        """Covering brick dims for tile-local volume gathers, or None.
+
+        None (fall back to flat gathers) when: the knob is off, not on TPU,
+        no correlation volumes, the image does not tile evenly, the chunk is
+        not whole tiles, or the host planner cannot certify covering dims
+        (see ops/brick_plan.py).
+        """
+        cfg = self.cfg
+        h, w = hw
+        tile = cfg.brick_tile
+        if (cfg.volume_brick != "auto" or jax.default_backend() != "tpu"
+                or not enc.volumes or h % tile or w % tile
+                or self.chunk % (tile * tile)):
+            return None
+        from ..ops.brick_plan import plan_volume_bricks
+
+        stage_shapes = {k: tuple(v.shape[1:4]) for k, v in enc.volumes.items()}
+        return plan_volume_bricks(
+            np.asarray(scene.source_poses), float(scene.near),
+            float(scene.far), np.asarray(scene.ray_o),
+            np.asarray(ray_d).reshape(h, w, 3),
+            np.asarray(near).reshape(h, w), np.asarray(far).reshape(h, w),
+            tile, stage_shapes, n_seg=cfg.brick_n_seg,
+        )
+
+    # ------------------------------------------------------------------
     def render_depth_view(self, scene: SceneInputs, extras: Dict,
                           key: jax.Array) -> Dict[str, np.ndarray]:
         """Render a full depth map + rgb for one view (extract_geometry path).
@@ -141,15 +174,24 @@ class SceneRenderer:
         to millimetres by scale_mat[0, 0].
         """
         enc = self.encode(scene)
-        ray_d = extras["ray_d"]
-        cam_rd = extras["cam_ray_d"]
+        ray_d = np.asarray(extras["ray_d"])
+        cam_rd = np.asarray(extras["cam_ray_d"])
         n = ray_d.shape[0]
         near = np.full(n, float(scene.near), np.float32) / cam_rd[:, 2]
         far = np.full(n, float(scene.far), np.float32) / cam_rd[:, 2]
+        h, w = extras["hw"]
+
+        plan = self._plan_bricks(scene, enc, ray_d, near, far, (h, w))
+        if plan is not None:
+            from ..ops.brick_plan import tile_order
+            perm, inv = tile_order(h, w, self.cfg.brick_tile)
+            ray_d, near, far = ray_d[perm], near[perm], far[perm]
 
         out = self.render_rays(scene, enc, ray_d, near, far, key,
-                               coarse_only=self.cfg.test_coarse_only)
-        h, w = extras["hw"]
+                               coarse_only=self.cfg.test_coarse_only,
+                               volume_brick=plan)
+        if plan is not None:
+            out = {k: v[inv] for k, v in out.items()}
         depth_z = out["depth"] * cam_rd[:, 2]           # ray distance -> z
         depth_mm = depth_z * extras["scale_mat"][0, 0]  # scene units -> mm
         return {
