@@ -121,13 +121,14 @@ class Config:
     fused_volume_fusion: str = "never"   # auto | always | never (Pallas view fusion)
     # Tile-local correlation-volume gathers for full-image rendering
     # (ops/brick_gather.py + ops/brick_plan.py): rays render in brick_tile^2
-    # image tiles and each (tile x z-segment) samples a bulk-copied frustum
-    # sub-brick instead of scattered HBM rows — measured 2.2-2.5x on the
-    # dominant gather bucket, bit-identical values. 'auto' = on TPU when the
-    # host planner certifies covering dims, 'never' = always flat gathers.
+    # image tiles and each (tile x along-ray segment) samples a bulk-copied
+    # frustum sub-brick instead of scattered HBM rows — measured 2.2-2.5x on
+    # the dominant gather bucket, bit-identical values. 'auto' = on TPU with
+    # per-tile host certification (uncertified tiles take the flat path via
+    # lax.cond), 'never' = always flat gathers.
     volume_brick: str = "auto"           # auto | never
     brick_tile: int = 32                 # ray tile side (tile^2 = chunk rays)
-    brick_n_seg: int = 4                 # z segments per volume
+    brick_n_seg: int = 8                 # along-ray slabs per brick set
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 

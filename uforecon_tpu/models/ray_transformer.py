@@ -34,9 +34,12 @@ def query_correlation_volume(
     volumes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
     near_far: Tuple[jnp.ndarray, jnp.ndarray],
     fused: str = "auto",
-    brick: Optional[Dict[str, Tuple[int, int]]] = None,
-    brick_n_seg: int = 4,
-    brick_n_tiles: int = 1,
+    brick: Optional[Dict] = None,        # stage -> per-seg (BD, BH, BW) dims
+    bricks: Optional[Dict] = None,       # stage -> prebuilt flat brick buffer
+    brick_origins: Optional[Dict] = None,  # stage -> (T, S, NV, 3)
+    brick_flags: Optional[Dict[str, jnp.ndarray]] = None,
+    seg: Optional[jnp.ndarray] = None,   # (RN, SN) int32 along-ray slab ids
+    brick_n_seg: int = 8,
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
 
@@ -51,11 +54,16 @@ def query_correlation_volume(
     (ops/fused_volume_fusion.py): 'auto' = on TPU, 'never' = the XLA
     chain below, 'always' = force (tests run the interpreter).
 
-    ``brick`` (stage -> static covering (BH, BW) dims from
-    ops/brick_plan.py) switches the per-stage sampling to tile-local brick
-    gathers (ops/brick_gather.py) — bit-identical values, 2.2-2.5x faster
-    on chip when the chunk's rays form ``brick_n_tiles`` coherent 2D image
-    tiles (script/bench_tile_gather.py).
+    ``brick``/``bricks``/``brick_origins`` (static per-seg dims from
+    ops/brick_plan.py + the per-chunk prebuilt brick buffers and origins)
+    switch per-stage sampling to tile-local brick lookups
+    (ops/brick_gather.py) — bit-identical values; the scattered HBM gathers
+    they replace were measured 2.2-2.5x slower on coherent ray tiles
+    (script/bench_tile_gather.py). ``brick_flags[stage]`` (a traced
+    per-chunk bool) selects brick vs flat at run time via lax.cond: the
+    host planner certifies coverage per tile and routes the rare huge-
+    footprint tiles (near another view's epipole) through the flat branch.
+    ``seg`` are the along-ray slab indices (ops/brick_gather.ray_segments).
 
     Args:
       volumes: stage -> corner-packed feat||weight volume
@@ -75,17 +83,33 @@ def query_correlation_volume(
         # packed (NV, D, h, w, 8*C'): corner-packed feat||weight rows,
         # C' = 9 (or 16 lane-padded, see pack_volume_corners corner_pad)
         c_out = 9 if packed.shape[-1] == 128 else None
-        if brick is not None:
-            from ..ops.brick_gather import brick_sample_3d_packed
 
-            fws.append(brick_sample_3d_packed(
-                packed, xyz, brick[stage], n_seg=brick_n_seg,
-                n_tiles=brick_n_tiles, align_corners=True,
-                padding_mode="zeros", c_out=c_out))
+        def flat_fn(p=packed, c=c_out):
+            return grid_sample_3d_packed(p, xyz, align_corners=True,
+                                         padding_mode="zeros", c_out=c)
+
+        bd = brick.get(stage) if brick is not None else None
+        if bd is not None and isinstance(bd[0], int):
+            bd = (tuple(bd),) * brick_n_seg     # single triple -> per-seg
+        use_brick = (bd is not None and seg is not None
+                     and bricks is not None and stage in bricks
+                     and any(tuple(d) != (1, 1, 1) for d in bd))
+        if use_brick:
+            from ..ops.brick_gather import brick_lookup
+
+            def brick_fn(p=packed, st=stage, dd=bd, c=c_out):
+                return brick_lookup(
+                    bricks[st], brick_origins[st], p.shape[1:4], dd,
+                    xyz, seg, n_seg=brick_n_seg, align_corners=True,
+                    padding_mode="zeros", c_out=c)
+
+            if brick_flags is None:
+                fws.append(brick_fn())
+            else:
+                fws.append(jax.lax.cond(brick_flags[stage],
+                                        brick_fn, flat_fn))
         else:
-            fws.append(grid_sample_3d_packed(packed, xyz, align_corners=True,
-                                             padding_mode="zeros",
-                                             c_out=c_out))
+            fws.append(flat_fn())
 
     if fused == "always" or (fused == "auto"
                              and jax.default_backend() == "tpu"):

@@ -6,17 +6,21 @@ the HBM-regime issue rate (~13.5-15.4 ns/row). The same gather from a small
 source runs 2.2-2.5x faster (measured on chip, script/bench_tile_gather.py:
 flat 14.6-15.4 ns/row vs brick 6.1-6.7 ns/row, bit-equal, all three cascade
 stages). This module exploits it: rays rendered in coherent 2D image tiles
-sample only a small frustum sub-brick of each view's volume per (tile,
-z-segment), so the sampler bulk-copies that brick with ``dynamic_slice`` and
-gathers locally.
+and segmented along the ray (uniform-t slabs — thin world-space shells, the
+segmentation that bounds parallax) touch only a small sub-brick of each
+view's volume per (tile, segment); the sampler bulk-copies that brick with
+``dynamic_slice`` and gathers locally.
 
 Semantics are bit-identical to ``grid_sample_3d_packed`` (same base-index +
 clamped-weight math; the gathered ROW for a zero-weight out-of-range point
 may differ, its contribution is zero either way) PROVIDED the static brick
-dims cover each tile-segment's true footprint — ``ops/brick_plan.py``
-computes guaranteed covering dims host-side from the exact projective
-geometry, and tests assert zero violations. Local indices are clamped
-defensively so undersized dims degrade values, never memory safety.
+dims cover each cell's true footprint — ``ops/brick_plan.py`` computes
+guaranteed covering dims AND per-cell origins host-side from the exact
+projective geometry and flags the (rare, epipole-adjacent) tiles whose
+cells exceed them, which the renderer routes through the flat path instead.
+Origins arrive as data (not from the points), so bricks build once per
+chunk and serve both render passes. Local indices are clamped defensively
+so undersized dims degrade values, never memory safety.
 
 Reference workload: per-point trilinear sampling of the three cascade stage
 volumes, /root/reference/code1/model.py:350-390.
@@ -27,6 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .grid_sample import _unnormalize
 
@@ -76,38 +81,73 @@ def _lerp_corners(rows, fx, fy, fz):
     return out
 
 
-def brick_sample_3d_packed(
-    packed: jnp.ndarray,                 # (NV, D, H, W, 8*C)
-    grid: jnp.ndarray,                   # (NV, ..., 3) normalized (x, y, z)
-    brick_yx: Tuple[int, int],           # static (BH, BW) covering dims
-    n_seg: int = 4,                      # z segments (seg_d = ceil(D/n_seg))
-    n_tiles: int = 1,                    # coherent point groups per call
+def _norm_dims(brick_dims, n_seg, D, H, W):
+    if isinstance(brick_dims[0], int):
+        brick_dims = tuple(brick_dims for _ in range(n_seg))
+    assert len(brick_dims) == n_seg, (len(brick_dims), n_seg)
+    return [(min(int(b[0]), D), min(int(b[1]), H), min(int(b[2]), W))
+            for b in brick_dims]
+
+
+def build_bricks(
+    packed: jnp.ndarray,       # (NV, D, H, W, C8)
+    origins: jnp.ndarray,      # (T, S, NV, 3) int32 (z, y, x) brick origins
+    brick_dims,                # static per-seg ((BD, BH, BW), ...) | triple
+    n_seg: int = 8,
+) -> jnp.ndarray:
+    """Bulk-copy every (tile, segment, view) brick into one flat buffer.
+
+    Returns (NV, T, total_rows, C8) with per-segment row blocks laid out
+    consecutively (offsets = cumsum of per-seg rows). Callers build ONCE per
+    chunk and share the buffer between the coarse and fine passes — brick
+    origins come from the host planner's hull minima (ops/brick_plan.py),
+    not from the points, so they are pass-independent.
+    """
+    NV, D, H, W, C8 = packed.shape
+    dims = _norm_dims(brick_dims, n_seg, D, H, W)
+
+    def slice_view_tile(vol, org_t):
+        # vol (D, H, W, C8); org_t (S, 3) -> flat (sum_k rows_k, C8)
+        parts = []
+        for k in range(n_seg):
+            BD, BH, BW = dims[k]
+            b = jax.lax.dynamic_slice(
+                vol, (org_t[k, 0], org_t[k, 1], org_t[k, 2], 0),
+                (BD, BH, BW, C8))
+            parts.append(b.reshape(BD * BH * BW, C8))
+        return jnp.concatenate(parts, axis=0)
+
+    org_vt = jnp.transpose(origins, (2, 0, 1, 3))        # (NV, T, S, 3)
+    return jax.vmap(lambda vol, ot: jax.vmap(
+        lambda o: slice_view_tile(vol, o))(ot))(packed, org_vt)
+
+
+def brick_lookup(
+    flat: jnp.ndarray,         # (NV, T, total_rows, C8) from build_bricks
+    origins: jnp.ndarray,      # (T, S, NV, 3) the SAME origins
+    vol_shape,                 # static (D, H, W) of the underlying volume
+    brick_dims,                # static per-seg dims matching build_bricks
+    grid: jnp.ndarray,         # (NV, ..., 3) normalized (x, y, z)
+    seg: jnp.ndarray,          # (...,) int32 ray-slab index, view-shared
+    n_seg: int = 8,
     align_corners: bool = True,
     padding_mode: str = "zeros",
     return_violations: bool = False,
     c_out: int = None,
 ):
-    """Trilinear sampling via per-(tile, z-segment) volume bricks.
+    """Trilinear sampling from pre-built per-(tile, segment) bricks.
 
-    Points must be grouped: the flattened point axis is split into
-    ``n_tiles`` equal contiguous groups, each assumed spatially coherent
-    (e.g. the samples of one 2D ray tile). Per (view, tile, segment) the
-    sampler computes the xy origin as the masked minimum of that segment's
-    base indices, bulk-copies a static (seg_d, BH, BW) brick, and gathers
-    rows locally. z origins are static (segment k starts at k*seg_d,
-    clamped), so z coverage is guaranteed by construction; xy coverage is
-    the caller's contract via ``brick_yx`` (see ops/brick_plan.py).
-
-    Returns (NV, ..., C) samples; with ``return_violations`` also a scalar
-    count of points whose xy fell outside their brick (0 when dims cover —
-    asserted by tests; production clamps and proceeds).
+    Bit-identical to grid_sample_3d_packed on the full volume whenever the
+    planner-certified dims cover (uncertified tiles are routed to the flat
+    path by the caller via lax.cond). Local indices clamp defensively, so
+    undersized dims degrade values, never memory safety; with
+    ``return_violations`` a count of nonzero-weight points outside their
+    brick is returned (0 under certification — asserted in tests).
     """
     assert padding_mode in ("zeros", "border"), padding_mode
-    NV, D, H, W, C8 = packed.shape
-    BH, BW = int(brick_yx[0]), int(brick_yx[1])
-    BH = min(BH, H)
-    BW = min(BW, W)
-    seg_d = -(-D // n_seg)
+    NV, n_tiles, _, C8 = flat.shape
+    D, H, W = (int(v) for v in vol_shape)
+    dims = _norm_dims(brick_dims, n_seg, D, H, W)
     lead = grid.shape[1:-1]
     g = grid.reshape(NV, -1, 3)
     P = g.shape[1]
@@ -115,54 +155,42 @@ def brick_sample_3d_packed(
     pt = P // n_tiles
 
     (x0, y0, z0), (fx, fy, fz), relevant = _base_indices(
-        packed.shape, g, align_corners, padding_mode)
+        (NV, D, H, W, C8), g, align_corners, padding_mode)
 
-    # group axis: (NV, T, pt)
     x0g = x0.reshape(NV, n_tiles, pt)
     y0g = y0.reshape(NV, n_tiles, pt)
     z0g = z0.reshape(NV, n_tiles, pt)
-    rel = relevant.reshape(NV, n_tiles, pt)
+    seg = jnp.broadcast_to(seg.reshape(-1), (NV, P)).reshape(NV, n_tiles, pt)
 
-    seg = z0g // seg_d                                   # (NV, T, pt)
     seg_ids = jnp.arange(n_seg, dtype=jnp.int32)
     seg_oh = seg[..., None] == seg_ids                   # (NV, T, pt, S)
-    # origin = min over RELEVANT points only (zero-weight points may clamp
-    # to volume edges far from the tile's true footprint)
-    seg_rel = seg_oh & rel[..., None]
-    big = jnp.int32(1 << 30)
-    oy = jnp.min(jnp.where(seg_rel, y0g[..., None], big), axis=2)  # (NV, T, S)
-    ox = jnp.min(jnp.where(seg_rel, x0g[..., None], big), axis=2)
-    oy = jnp.clip(oy, 0, H - BH)
-    ox = jnp.clip(ox, 0, W - BW)
-    oz_tab = jnp.clip(seg_ids * seg_d, 0, max(D - seg_d, 0))     # (S,) static
-
-    def slice_view_tile(vol, oyv, oxv):
-        # vol (D, H, W, C8); oyv/oxv (S,) -> (S, seg_d, BH, BW, C8)
-        def one(k):
-            return jax.lax.dynamic_slice(
-                vol, (oz_tab[k], oyv[k], oxv[k], 0), (seg_d, BH, BW, C8))
-        return jnp.stack([one(k) for k in range(n_seg)])
-
-    # bricks: (NV, T, S, seg_d, BH, BW, C8)
-    bricks = jax.vmap(lambda vol, oyt, oxt: jax.vmap(
-        lambda oyv, oxv: slice_view_tile(vol, oyv, oxv))(oyt, oxt)
-    )(packed, oy, ox)
-    flat = bricks.reshape(NV, n_tiles, n_seg * seg_d * BH * BW, C8)
-
-    # per-point origins via one-hot sums (n_seg is tiny; stays gather-free)
     ohf = seg_oh.astype(jnp.int32)
-    oy_p = jnp.sum(ohf * oy[:, :, None, :], axis=-1)     # (NV, T, pt)
-    ox_p = jnp.sum(ohf * ox[:, :, None, :], axis=-1)
-    oz_p = jnp.sum(ohf * oz_tab[None, None, None, :], axis=-1)
+    org = jnp.transpose(origins, (2, 0, 1, 3))           # (NV, T, S, 3)
 
+    def pick(tab):                                       # (..., S) tables
+        return jnp.sum(ohf * tab, axis=-1)               # (NV, T, pt)
+
+    oz_p = pick(org[..., None, :, 0])
+    oy_p = pick(org[..., None, :, 1])
+    ox_p = pick(org[..., None, :, 2])
+    bdk = jnp.asarray([d[0] for d in dims], jnp.int32)
+    bhk = jnp.asarray([d[1] for d in dims], jnp.int32)
+    bwk = jnp.asarray([d[2] for d in dims], jnp.int32)
+    rows_per_seg = [d[0] * d[1] * d[2] for d in dims]
+    offsets = np.concatenate([[0], np.cumsum(rows_per_seg)[:-1]]).astype(
+        np.int32)
+    bd_p = pick(bdk[None, None, None, :])
+    bh_p = pick(bhk[None, None, None, :])
+    bw_p = pick(bwk[None, None, None, :])
+    off_p = pick(jnp.asarray(offsets)[None, None, None, :])
+
+    lz = z0g - oz_p
     ly = y0g - oy_p
     lx = x0g - ox_p
-    lz = z0g - oz_p
-    # only relevant points can be *wrong* when clamped (irrelevant rows are
-    # multiplied by exactly-zero weights)
-    bad = ((ly < 0) | (ly >= BH) | (lx < 0) | (lx >= BW)) & rel
-    loc = (seg * seg_d + lz) * (BH * BW) \
-        + jnp.clip(ly, 0, BH - 1) * BW + jnp.clip(lx, 0, BW - 1)
+    loc = (off_p
+           + (jnp.clip(lz, 0, bd_p - 1) * bh_p
+              + jnp.clip(ly, 0, bh_p - 1)) * bw_p
+           + jnp.clip(lx, 0, bw_p - 1))
 
     rows = jnp.take_along_axis(
         flat, loc.reshape(NV, n_tiles, pt, 1), axis=2,
@@ -172,5 +200,48 @@ def brick_sample_3d_packed(
     if c_out is not None:
         out = out[..., :c_out]
     if return_violations:
+        # only relevant points can be *wrong* when clamped (irrelevant rows
+        # are multiplied by exactly-zero weights)
+        rel = relevant.reshape(NV, n_tiles, pt)
+        bad = ((lz < 0) | (lz >= bd_p) | (ly < 0) | (ly >= bh_p)
+               | (lx < 0) | (lx >= bw_p)) & rel
         return out, jnp.sum(bad.astype(jnp.int32))
     return out
+
+
+def brick_sample_3d_packed(
+    packed: jnp.ndarray,                 # (NV, D, H, W, 8*C)
+    grid: jnp.ndarray,                   # (NV, ..., 3) normalized (x, y, z)
+    seg: jnp.ndarray,                    # (...,) int32 ray-slab index
+    brick_dims,                          # static per-seg dims | one triple
+    origins: jnp.ndarray,                # (T, S, NV, 3) planner hull minima
+    n_seg: int = 8,
+    align_corners: bool = True,
+    padding_mode: str = "zeros",
+    return_violations: bool = False,
+    c_out: int = None,
+):
+    """build_bricks + brick_lookup in one call (tests / single-pass use).
+
+    Production (uforecon.render_chunk) calls the two halves separately so
+    one build serves both the coarse and the fine pass.
+    """
+    flat = build_bricks(packed, origins, brick_dims, n_seg=n_seg)
+    return brick_lookup(
+        flat, origins, packed.shape[1:4], brick_dims, grid, seg,
+        n_seg=n_seg, align_corners=align_corners, padding_mode=padding_mode,
+        return_violations=return_violations, c_out=c_out)
+
+
+def ray_segments(z_val: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                 n_seg: int) -> jnp.ndarray:
+    """Uniform-t slab index per sample: (RN, SN) int32 in [0, n_seg).
+
+    The slab surfaces t = near + k/S (far - near) are reference-camera
+    z-planes under the per-ray z-depth convention (near_i = near0 / cam_dz),
+    so each (tile x slab) cell is an exact convex polytope — the geometry
+    ops/brick_plan.py bounds. Coarse and importance samples bin by the same
+    rule.
+    """
+    u = (z_val - near[:, None]) / jnp.maximum(far - near, 1e-12)[:, None]
+    return jnp.clip((u * n_seg).astype(jnp.int32), 0, n_seg - 1)

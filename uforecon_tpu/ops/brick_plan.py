@@ -1,38 +1,60 @@
-"""Host-side planning of covering brick dims for tile-local volume sampling.
+"""Host-side planning for tile-local volume sampling (ops/brick_gather.py).
 
-``brick_sample_3d_packed`` (ops/brick_gather.py) is bit-identical to the
-flat packed sampler only if the static (BH, BW) brick dims cover every
-(ray-tile x z-segment)'s true xy footprint in every view's volume. This
-module computes guaranteed covering dims from the exact projective geometry,
-entirely in numpy before jit:
+The brick sampler is bit-identical to the flat packed sampler only if its
+static (BD, BH, BW) dims cover every (ray-tile x along-ray-segment) cell's
+footprint in every view's volume. This module computes guaranteed covering
+dims from the exact projective geometry, entirely in numpy before jit, and
+— because some cells are irreducibly huge (tiles near another view's
+epipole sweep entire epipolar lines) — FLAGS the tiles whose cells exceed
+the chosen dims so the renderer can route just those through the flat path.
 
-The world-space cell of one (tile, z-segment) is the intersection of the
-tile's ray frustum (a convex polytope: rays are projective in pixel coords,
-per-ray near/far endpoints lie on planes) with a vz slab (two half-spaces:
-vz is affine in world position). Every vertex of that convex polytope is
-either a corner-ray clipped-interval endpoint or a slab-plane crossing of a
-near/far-face edge — at most 24 candidate points. A projective map with
-positive denominator maps a convex hull into the hull of the vertex images,
-so per-axis voxel bounds of the candidates bound ALL points of the cell.
-If any candidate projects to nonpositive depth in some view the hull
-property fails and the planner returns None (caller falls back to flat
-gathers).
+Geometry: with the per-ray z-depth convention (t bounds = scene near/far
+divided by the camera-frame ray z, code1/model.py:423-427), the surfaces
+t(u,v) = tn(u,v) + k/S (tf - tn)(u,v) are reference-camera z-planes, so
+each cell is a convex frustum slab whose vertices are exactly the 4 tile
+corner rays at the 2 bounding surfaces. A projective map with positive
+denominator maps a convex hull into the hull of the vertex images, so
+per-axis voxel bounds of those 8 points bound ALL points of the cell. Cells
+with any nonpositive-depth vertex cannot be certified -> tile flagged to
+the flat path. (For constant per-ray t bounds the slab surfaces are
+spheres; the corner hull under-covers by the sagitta — sub-voxel at tile
+sizes here — which ``margin`` absorbs; tests assert zero violations.)
 
 Zero-interpolation-weight points (outside one voxel beyond the volume) are
 excluded from coverage on purpose — the sampler gathers arbitrary rows for
 them and multiplies by exactly zero — so the per-axis bounds are clipped to
 the relevant range (-1, size) before flooring, keeping bricks tight for
-tiles that project partially outside a view.
+cells that project partially outside a view.
 
 Reference workload: the per-point volume sampling of model.py:350-390.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 
 _EPS_DEPTH = 1e-6
+
+
+class BrickPlan(NamedTuple):
+    """Static dims + per-tile origins/certification for one scene's render."""
+
+    # stage -> per-segment ((BD, BH, BW), ... n_seg entries). Per segment
+    # because footprints shrink strongly with depth (parallax): one
+    # max-over-segs size was measured to overfetch ~5x in slice bytes.
+    dims: Dict[str, Tuple[Tuple[int, int, int], ...]]
+    flags: Dict[str, np.ndarray]            # stage -> (n_tiles,) bool
+    # stage -> (n_tiles, n_seg, NV, 3) int32 brick origins (z, y, x), the
+    # clipped hull minima — data inputs to the render program, so bricks are
+    # built ONCE per chunk and shared by the coarse and fine passes
+    origins: Dict[str, np.ndarray]
+    n_seg: int
+    tile: int
+
+    def signature(self):
+        """Hashable piece that changes the compiled program."""
+        return (tuple(sorted(self.dims.items())), self.n_seg, self.tile)
 
 
 def tile_order(h: int, w: int, tile: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -66,6 +88,10 @@ def _tile_corner_rays(ray_d_img, t_near_img, t_far_img, tile):
     return d, tn, tf
 
 
+def _quantize(v: int, q: int, cap: int) -> int:
+    return int(min(-(-v // q) * q, cap))
+
+
 def plan_volume_bricks(
     poses: np.ndarray,            # (NV, 4, 4) NDC projection matrices
     near: float,                  # scene near (vz normalization)
@@ -76,10 +102,21 @@ def plan_volume_bricks(
     t_far_img: np.ndarray,
     tile: int,
     stage_shapes: Dict[str, Tuple[int, int, int]],  # stage -> (D, h_s, w_s)
-    n_seg: int = 4,
-    margin: int = 1,
-) -> Optional[Dict[str, Tuple[int, int]]]:
-    """Covering (BH, BW) per stage, or None when geometry is unsafe."""
+    n_seg: int = 8,
+    margin: int = 2,
+    row_budget: int = 1 << 16,
+    min_coverage: float = 0.5,
+) -> Optional[BrickPlan]:
+    """Covering dims + per-tile flags per stage, or None when not worth it.
+
+    Dims are chosen per (stage, segment) as a quantized per-tile quantile,
+    picking the quantile that maximizes tile coverage subject to
+    ``row_budget`` (total brick rows per tile across segments — the slice
+    overfetch bound); tiles any of whose cells exceed their segment's dims
+    (or cannot be certified) are flagged False. Returns None when no stage
+    reaches ``min_coverage`` — the renderer then keeps today's flat path
+    with zero overhead.
+    """
     poses = np.asarray(poses, np.float64)
     ray_o = np.asarray(ray_o, np.float64)
     d, tn, tf = _tile_corner_rays(
@@ -87,97 +124,90 @@ def plan_volume_bricks(
         np.asarray(t_near_img, np.float64),
         np.asarray(t_far_img, np.float64), tile)
     nt = d.shape[0]
-    o1 = np.concatenate([ray_o, [1.0]])
-    d0 = np.concatenate([d, np.zeros((nt, 4, 1))], axis=-1)   # (nt, 4, 4)
 
-    out: Dict[str, Tuple[int, int]] = {}
+    # cell vertices: corner rays at the S+1 slab surfaces -> (nt, 4, S+1, 3)
+    frac = np.arange(n_seg + 1, dtype=np.float64) / n_seg
+    tb = tn[..., None] + (tf - tn)[..., None] * frac
+    X = ray_o + tb[..., None] * d[:, :, None, :]
+    X1 = np.concatenate([X, np.ones_like(X[..., :1])], -1)
+
+    nv = poses.shape[0]
+    dims: Dict[str, Tuple[Tuple[int, int, int], ...]] = {}
+    flags: Dict[str, np.ndarray] = {}
+    origins: Dict[str, np.ndarray] = {}
+    any_ok = False
     for stage, (D, hs, ws) in stage_shapes.items():
-        seg_d = -(-D // n_seg)
-        # slab boundaries in voxel-z, extended one voxel past each end so
-        # points with nonzero z weights just outside the grid stay covered
-        vzb = np.concatenate([[-1.0],
-                              np.arange(1, n_seg) * float(seg_d),
-                              [float(D)]])                    # (S+1,)
-        ext_y = ext_x = 1
-        for v in range(poses.shape[0]):
-            P3 = poses[v, 2]
-            a = P3 @ o1                                       # scalar
-            b = d0 @ P3                                       # (nt, 4)
-            depth_b = near + vzb * (far - near) / max(D - 1, 1)  # (S+1,)
-
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t_cross = (depth_b[None, None] - a) / b[..., None]
-            t_cross = np.where(np.isfinite(t_cross), t_cross,
-                               np.where(t_cross > 0, 1e30, -1e30))
-            lo = np.minimum(t_cross[..., :-1], t_cross[..., 1:])  # (nt,4,S)
-            hi = np.maximum(t_cross[..., :-1], t_cross[..., 1:])
-            # b ~ 0: vz constant along the ray; cover the whole t range
-            par = np.abs(b)[..., None] < 1e-12
-            lo = np.where(par, -1e30, lo)
-            hi = np.where(par, 1e30, hi)
-            lo = np.maximum(lo, tn[..., None])
-            hi = np.minimum(hi, tf[..., None])
-            empty = lo > hi                                    # (nt, 4, S)
-            # corner-ray candidates: (nt, 4, S, 2) ts
-            ts = np.stack([lo, hi], axis=-1)
-            Xr = ray_o + ts[..., None] * d[:, :, None, None, :]  # (nt,4,S,2,3)
-            Xr = np.where(empty[..., None, None], np.nan, Xr)
-
-            # face-edge candidates: near/far quads, 4 edges each
-            # (corner order 0-1-3-2 walks the tile boundary)
-            En = ray_o + tn[..., None] * d                     # (nt, 4, 3)
-            Ef = ray_o + tf[..., None] * d
-            edge_idx = np.array([[0, 1], [1, 3], [3, 2], [2, 0]])
-            cand_e = []
-            for quad in (En, Ef):
-                A = quad[:, edge_idx[:, 0]]                    # (nt, 4, 3)
-                B = quad[:, edge_idx[:, 1]]
-                vzA = ((np.concatenate([A, np.ones_like(A[..., :1])], -1)
-                        @ P3) - near) / (far - near) * max(D - 1, 1)
-                vzB = ((np.concatenate([B, np.ones_like(B[..., :1])], -1)
-                        @ P3) - near) / (far - near) * max(D - 1, 1)
-                den = vzB - vzA
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    lam = (vzb[None, None, :] - vzA[..., None]) / den[..., None]
-                okc = np.isfinite(lam) & (lam >= 0.0) & (lam <= 1.0)
-                Xc = A[:, :, None] + lam[..., None] * (B - A)[:, :, None]
-                Xc = np.where(okc[..., None], Xc, np.nan)      # (nt,4,S+1,3)
-                # boundary k belongs to segs k-1 and k
-                cand_e.append(Xc[:, :, :-1])                   # seg k via lower
-                cand_e.append(Xc[:, :, 1:])                    # seg k via upper
-            Xe = np.stack(cand_e, axis=-2)                     # (nt,4,S,4,3)
-
-            X = np.concatenate(
-                [Xr.reshape(nt, -1, n_seg, 2, 3).transpose(0, 2, 1, 3, 4)
-                 .reshape(nt, n_seg, -1, 3),
-                 Xe.transpose(0, 2, 1, 3, 4).reshape(nt, n_seg, -1, 3)],
-                axis=2)                                        # (nt, S, K, 3)
-
-            X1 = np.concatenate([X, np.ones_like(X[..., :1])], -1)
-            pr = X1 @ poses[v].T                               # (nt, S, K, 4)
+        # per (tile, seg, view): clipped hull lo + extents, + certification
+        lo_all = np.zeros((nt, n_seg, nv, 3), np.int64)
+        ext = np.ones((nt, n_seg, 3), np.int64)
+        cert = np.ones((nt, n_seg), bool)
+        for v in range(nv):
+            pr = X1 @ poses[v].T                          # (nt, 4, S+1, 4)
             pz = pr[..., 2]
-            live = np.isfinite(pz)
-            if not np.all(pz[live] > _EPS_DEPTH):
-                return None                                    # hull unsafe
-            with np.errstate(invalid="ignore"):
+            # cell k uses surfaces k and k+1 of all 4 corner rays
+            czs = np.stack([pz[:, :, :-1], pz[:, :, 1:]], -1)  # (nt,4,S,2)
+            ok = np.all(czs > _EPS_DEPTH, axis=(1, 3))         # (nt, S)
+            cert &= ok
+            with np.errstate(divide="ignore", invalid="ignore"):
                 vx = (pr[..., 0] / pz + 1.0) * 0.5 * (ws - 1)
                 vy = (pr[..., 1] / pz + 1.0) * 0.5 * (hs - 1)
+                vz = (pz - near) / (far - near) * max(D - 1, 1)
 
-            def axis_extent(vc, size):
-                import warnings
-                with warnings.catch_warnings():
-                    # all-NaN (tile, seg) cells = no relevant points there
-                    warnings.simplefilter("ignore", RuntimeWarning)
-                    vmin = np.nanmin(vc, axis=-1)              # (nt, S)
-                    vmax = np.nanmax(vc, axis=-1)
-                none = ~np.isfinite(vmin)
-                lo_i = np.clip(np.floor(np.maximum(vmin, -1.0)), 0, size - 1)
-                hi_i = np.clip(np.floor(np.minimum(vmax, size)), 0, size - 1)
-                ext = np.where(none, 1, hi_i - lo_i + 1)
-                return int(ext.max())
+            def cell_lo_ext(vc, size):
+                c = np.stack([vc[:, :, :-1], vc[:, :, 1:]], -1)  # (nt,4,S,2)
+                vmin = np.nan_to_num(c.min(axis=(1, 3)), nan=0.0,
+                                     posinf=size, neginf=0.0)
+                vmax = np.nan_to_num(c.max(axis=(1, 3)), nan=0.0,
+                                     posinf=size, neginf=0.0)
+                lo = np.clip(np.floor(np.maximum(vmin, -1.0)), 0, size - 1)
+                hi = np.clip(np.floor(np.minimum(vmax, size)), 0, size - 1)
+                return lo.astype(np.int64), \
+                    np.maximum(hi - lo + 1, 1).astype(np.int64)
 
-            with np.errstate(invalid="ignore"):
-                ext_y = max(ext_y, axis_extent(vy, hs))
-                ext_x = max(ext_x, axis_extent(vx, ws))
-        out[stage] = (min(ext_y + margin, hs), min(ext_x + margin, ws))
-    return out
+            loz, ez = cell_lo_ext(vz, D)
+            loy, ey = cell_lo_ext(vy, hs)
+            lox, ex = cell_lo_ext(vx, ws)
+            lo_all[:, :, v] = np.stack([loz, loy, lox], -1)
+            e = np.stack([ez, ey, ex], -1)                 # (nt, S, 3)
+            ext = np.maximum(ext, np.where(ok[..., None], e, 1))
+
+        # a full-size axis needs no margin: the brick then spans the whole
+        # volume along it (origin clamps to 0), which always covers
+        per_cell = np.minimum(ext + margin,
+                              np.array([D, hs, ws]))       # (nt, S, 3)
+        per_tile_cert = cert.all(axis=1)                   # (nt,)
+
+        best = None
+        for q in (100, 90, 75, 50):
+            cand = np.percentile(per_cell, q, axis=0)      # (S, 3)
+            dk = [(_quantize(int(c[0]), 2, D), _quantize(int(c[1]), 4, hs),
+                   _quantize(int(c[2]), 8, ws)) for c in cand]
+            rows = sum(a * b * c for a, b, c in dk)
+            if rows > row_budget:
+                continue
+            lim = np.array(dk)                             # (S, 3)
+            fits = per_tile_cert & np.all(per_cell <= lim, axis=(1, 2))
+            cov = float(fits.mean())
+            if best is None or cov > best[0]:
+                best = (cov, tuple(dk), fits)
+        if best is None or best[0] < min_coverage:
+            # stage never bricks; renderer's flat path handles it
+            dims[stage] = ((1, 1, 1),) * n_seg
+            flags[stage] = np.zeros(nt, bool)
+            origins[stage] = np.zeros((nt, n_seg, nv, 3), np.int32)
+            continue
+        any_ok = True
+        dims[stage] = best[1]
+        flags[stage] = best[2]
+        # origins sit one voxel BELOW the f64 hull minima: the sampler's f32
+        # projection can floor a boundary point one voxel lower (margin
+        # covers one voxel each side); clamp so the static brick stays in
+        # bounds
+        dk = np.array(best[1])                             # (S, 3)
+        cap = np.array([D, hs, ws]) - dk                   # (S, 3)
+        origins[stage] = np.clip(
+            lo_all - 1, 0, cap[None, :, None, :]).astype(np.int32)
+    if not any_ok:
+        return None
+    return BrickPlan(dims=dims, flags=flags, origins=origins,
+                     n_seg=n_seg, tile=tile)

@@ -51,35 +51,49 @@ class SceneRenderer:
     # ------------------------------------------------------------------
     def _build_render(self, n_rays_padded: int, coarse_only: bool,
                       volume_brick=None):
+        """``volume_brick``: Optional (dims dict, stage order) — static
+        brick dims baked into the program; per-chunk certification flags
+        flow in as data (see render_rays)."""
         cfg = self.cfg
         model = self.model
         chunk = self.chunk
         mesh = self.mesh
         per_dev = n_rays_padded // self.n_dev
         assert per_dev % chunk == 0
+        dims, stages = volume_brick if volume_brick is not None else (None, ())
 
-        def render_local(variables, scene, enc, ray_d, near, far, key):
+        def render_local(variables, scene, enc, ray_d, near, far, flags,
+                         origins, key):
             """Render this device's rays: lax.map over chunks."""
             n_local = ray_d.shape[0]
             n_chunks = n_local // chunk
             rd = ray_d.reshape(n_chunks, chunk, 3)
             nr = near.reshape(n_chunks, chunk)
             fr = far.reshape(n_chunks, chunk)
+            fl = flags.reshape(n_chunks, -1)
+            org = origins.reshape((n_chunks,) + origins.shape[1:])
             keys = jax.random.split(key, n_chunks)
 
             def one(args):
-                rd_c, nr_c, fr_c, k = args
+                rd_c, nr_c, fr_c, fl_c, org_c, k = args
+                brick_flags = brick_origins = None
+                if dims is not None:
+                    brick_flags = {s: fl_c[i] for i, s in enumerate(stages)}
+                    brick_origins = {s: org_c[i]
+                                     for i, s in enumerate(stages)}
                 out = model.apply(
                     variables, scene, enc, rd_c, k,
                     near_per_ray=nr_c, far_per_ray=fr_c,
                     coarse_only=coarse_only,
-                    volume_brick=volume_brick,
+                    volume_brick=dims,
+                    brick_origins=brick_origins,
+                    brick_flags=brick_flags,
                     method=model.render_chunk,
                 )
                 f = out["fine"]
                 return f["rgb"], f["depth"], f["opacity"]
 
-            rgb, depth, opacity = jax.lax.map(one, (rd, nr, fr, keys))
+            rgb, depth, opacity = jax.lax.map(one, (rd, nr, fr, fl, org, keys))
             return (
                 rgb.reshape(n_local, 3),
                 depth.reshape(n_local),
@@ -94,7 +108,8 @@ class SceneRenderer:
             fn = shard_map(
                 render_local,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"), P()),
+                in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"),
+                          P("rays"), P("rays"), P()),
                 out_specs=(P("rays"), P("rays"), P("rays")),
                 check_vma=False,
             )
@@ -110,25 +125,52 @@ class SceneRenderer:
         far: np.ndarray,                    # (N,)
         key: jax.Array,
         coarse_only: bool = False,
-        volume_brick=None,
+        volume_brick=None,                  # Optional[BrickPlan]
     ) -> Dict[str, np.ndarray]:
         n = ray_d.shape[0]
         mult = self.chunk * self.n_dev
         ray_d_p, _ = pad_to_multiple(np.asarray(ray_d), mult)
         near_p, _ = pad_to_multiple(np.asarray(near), mult)
         far_p, _ = pad_to_multiple(np.asarray(far), mult)
+        n_chunks = ray_d_p.shape[0] // self.chunk
 
-        brick_key = (None if volume_brick is None
-                     else tuple(sorted(volume_brick.items())))
+        plan = volume_brick
+        if plan is not None:
+            stages = tuple(plan.dims.keys())
+            static = (plan.dims, stages)
+            # per-chunk certification: a chunk bricks a stage only if every
+            # tile it contains is certified for that stage's dims; padded
+            # tail chunks go flat
+            tpc = self.chunk // (plan.tile * plan.tile)
+            flags = np.zeros((n_chunks, len(stages)), bool)
+            s0 = plan.origins[stages[0]]
+            nv = s0.shape[2]
+            origins = np.zeros(
+                (n_chunks, len(stages), tpc, plan.n_seg, nv, 3), np.int32)
+            for i, s in enumerate(stages):
+                tf = plan.flags[s]
+                full = tf.size // tpc
+                cf = tf[: full * tpc].reshape(full, tpc).all(axis=1)
+                flags[:full, i] = cf[:n_chunks]
+                og = plan.origins[s][: full * tpc].reshape(
+                    full, tpc, plan.n_seg, nv, 3)
+                origins[:full, i] = og[:n_chunks]
+            brick_key = plan.signature()
+        else:
+            static = None
+            flags = np.zeros((n_chunks, 1), bool)
+            origins = np.zeros((n_chunks, 1), np.int32)
+            brick_key = None
         sig = (ray_d_p.shape[0], coarse_only, brick_key)
         fn = self._render_fns.get(sig)
         if fn is None:
             fn = self._render_fns[sig] = self._build_render(
-                ray_d_p.shape[0], coarse_only, volume_brick)
+                ray_d_p.shape[0], coarse_only, static)
 
         rgb, depth, opacity = fn(
             self.variables, scene, enc,
-            jnp.asarray(ray_d_p), jnp.asarray(near_p), jnp.asarray(far_p), key,
+            jnp.asarray(ray_d_p), jnp.asarray(near_p), jnp.asarray(far_p),
+            jnp.asarray(flags), jnp.asarray(origins), key,
         )
         return {
             "rgb": np.asarray(rgb)[:n],
@@ -138,11 +180,11 @@ class SceneRenderer:
 
     # ------------------------------------------------------------------
     def _plan_bricks(self, scene, enc, ray_d, near, far, hw):
-        """Covering brick dims for tile-local volume gathers, or None.
+        """BrickPlan for tile-local volume gathers, or None.
 
         None (fall back to flat gathers) when: the knob is off, not on TPU,
         no correlation volumes, the image does not tile evenly, the chunk is
-        not whole tiles, or the host planner cannot certify covering dims
+        not whole tiles, or the host planner cannot certify enough tiles
         (see ops/brick_plan.py).
         """
         cfg = self.cfg
