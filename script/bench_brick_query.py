@@ -51,7 +51,13 @@ def main():
     rd = np.asarray(ray_d)[perm][:chunk]
     SN = 64
     rng = np.random.default_rng(0)
-    t = near_s + (far_s - near_s) * np.sort(rng.random((chunk, SN)), axis=1)
+    if os.environ.get("BENCH_SAMPLER", "coarse") == "coarse":
+        # stratified (the production coarse pass): sample i inside stratum i
+        t = near_s + (far_s - near_s) * \
+            (np.arange(SN)[None] + rng.random((chunk, SN))) / SN
+    else:
+        t = near_s + (far_s - near_s) * np.sort(rng.random((chunk, SN)),
+                                                axis=1)
     pts = jnp.asarray(np.asarray(scene.ray_o)[None, None]
                       + rd[:, None] * t[..., None], jnp.float32)
     seg = ray_segments(jnp.asarray(t, jnp.float32),
@@ -62,29 +68,60 @@ def main():
                                    near_far=(scene.near, scene.far))
     xyz = jax.block_until_ready(jax.device_put(xyz))
 
-    def timeit(f, *a, n=20):
+    # the axon tunnel adds ~20 ms dispatch latency per call: amortize by
+    # looping the op K times INSIDE one jitted program (perturbed grid per
+    # iteration so XLA cannot CSE the loop body)
+    K = 16
+
+    def timeit(f, *a, n=6):
         jax.block_until_ready(f(*a))
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
             jax.block_until_ready(f(*a))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts) / K
+
+    eps = jnp.linspace(0.0, 1e-4, K)
 
     for s, (D, hs, ws) in stage_shapes.items():
         vol = jnp.asarray(rng.normal(size=(3, D, hs, ws, 128)).astype(
             np.float32), jnp.bfloat16)
 
-        flat = jax.jit(lambda v, g: grid_sample_3d_packed(
-            v, g, align_corners=True, padding_mode="zeros", c_out=9))
+        @jax.jit
+        def flat(v, g):
+            def one(e):
+                return grid_sample_3d_packed(
+                    v, g + e, align_corners=True, padding_mode="zeros",
+                    c_out=9).sum()
+            return jax.lax.map(one, eps)
+
         tf_ = timeit(flat, vol, xyz)
 
         org = jnp.asarray(plan.origins[s][:n_tiles])
-        brick = jax.jit(lambda v, g, sg, o, d=plan.dims[s]:
-                        brick_sample_3d_packed(
-                            v, g, sg, d, o, n_seg=n_seg,
-                            align_corners=True, padding_mode="zeros",
-                            c_out=9))
+
+        if os.environ.get("BENCH_SAMPLER", "coarse") == "coarse":
+            from uforecon_tpu.ops.brick_gather import \
+                brick_sample_coarse_packed
+
+            @jax.jit
+            def brick(v, g, sg, o, d=plan.dims[s]):
+                def one(e):
+                    return brick_sample_coarse_packed(
+                        v, g + e, d, o, n_seg=n_seg,
+                        align_corners=True, padding_mode="zeros",
+                        c_out=9).sum()
+                return jax.lax.map(one, eps)
+        else:
+            @jax.jit
+            def brick(v, g, sg, o, d=plan.dims[s]):
+                def one(e):
+                    return brick_sample_3d_packed(
+                        v, g + e, sg, d, o, n_seg=n_seg,
+                        align_corners=True, padding_mode="zeros",
+                        c_out=9).sum()
+                return jax.lax.map(one, eps)
+
         tb = timeit(brick, vol, xyz, seg, org)
         rows = chunk * SN * 3
         print(json.dumps({

@@ -65,9 +65,25 @@ def main():
     near = np.full(n, float(scene.near), np.float32)
     far = np.full(n, float(scene.far), np.float32)
 
-    # warmup / compile both programs
-    enc = renderer.encode(scene)
-    jax.block_until_ready(jax.tree_util.tree_leaves(enc)[0])
+    def time_best(fn, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.perf_counter()
+            fn(i)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def run_encode(i):
+        # hold at most ONE encoder output: the packed volumes are ~7 GB on
+        # v5e, two alive at once exhaust HBM
+        e = renderer.encode(scene)
+        jax.block_until_ready(jax.tree_util.tree_leaves(e)[0])
+        return e
+
+    run_encode(0)                        # compile; result dropped
+    enc_s = time_best(lambda i: run_encode(i))
+    enc = renderer.encode(scene)         # the one kept for render timing
+
     # tile-local brick gathers, as in bench.py / render_depth_view
     plan = None
     if os.environ.get("BENCH_BRICK", "auto") == "auto":
@@ -80,17 +96,6 @@ def main():
     out = renderer.render_rays(scene, enc, ray_d, near, far, key,
                                volume_brick=plan)
     assert np.all(np.isfinite(out["depth"]))
-
-    def time_best(fn, reps=3):
-        best = float("inf")
-        for i in range(reps):
-            t0 = time.perf_counter()
-            fn(i)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    enc_s = time_best(lambda i: jax.block_until_ready(
-        jax.tree_util.tree_leaves(renderer.encode(scene))[0]))
     rnd_s = time_best(lambda i: renderer.render_rays(
         scene, enc, ray_d, near, far, jax.random.PRNGKey(i),
         volume_brick=plan))

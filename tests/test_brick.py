@@ -181,6 +181,43 @@ def test_brick_multi_tile_grouping():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_coarse_blocks_bit_equal():
+    """The production coarse-pass sampler (static sample-index blocks, no
+    per-point segment machinery) is bit-equal to the flat sampler on
+    STRATIFIED samples — the only kind it accepts."""
+    from uforecon_tpu.ops.brick_gather import brick_sample_coarse_packed
+
+    tile = 16
+    scene, _, _, volumes, stage_shapes, ex = _tile_scene(tile=tile)
+    rng = np.random.default_rng(21)
+    sn = 16
+    nr = float(scene.near)
+    fr = float(scene.far)
+    rays = np.asarray(ex["ray_d"]).reshape(-1, 3)
+    perm, _ = tile_order(*ex["hw"], tile)
+    rays = rays[perm][: tile * tile]
+    # stratified: sample i jittered inside stratum i (ops/sampling.py)
+    u = rng.random((rays.shape[0], sn))
+    t = nr + (fr - nr) * (np.arange(sn)[None] + u) / sn
+    pts = jnp.asarray(np.asarray(scene.ray_o)[None, None]
+                      + rays[:, None] * t[..., None], jnp.float32)
+    plan = _plan(scene, ex, tile, stage_shapes)
+    _, xyz, _ = project_points_ndc(scene.source_poses, pts,
+                                   near_far=(scene.near, scene.far))
+    for stage, packed in volumes.items():
+        if not plan.flags[stage][0]:
+            continue
+        ref = grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                    padding_mode="zeros")
+        got, viol = brick_sample_coarse_packed(
+            packed, xyz, plan.dims[stage],
+            jnp.asarray(plan.origins[stage][:1]), n_seg=N_SEG,
+            return_violations=True)
+        assert int(viol) == 0, stage
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=stage)
+
+
 def test_lane_padded_pack_bit_equal():
     """corner_pad=16 (128-lane rows, the OOM-avoiding layout) + c_out=9
     must reproduce the unpadded samplers bit-for-bit, flat and brick."""
@@ -273,18 +310,15 @@ def test_renderer_brick_plan_end_to_end():
     near = np.full(h * w, float(scene.near), np.float32)
     far = np.full(h * w, float(scene.far), np.float32)
     kr = jax.random.PRNGKey(3)
-    flat = renderer.render_rays(scene, enc, ray_d, near, far, kr)
     tiled = renderer.render_rays(scene, enc, ray_d[perm], near[perm],
                                  far[perm], kr, volume_brick=plan)
-    # same rays, same per-chunk RNG stream only when the chunk contents
-    # match; tile-major chunks differ from scanline chunks, so compare the
-    # brick render against the flat render OF THE SAME ORDERING instead
+    # compare the brick render against the flat render OF THE SAME RAY
+    # ORDERING (the per-chunk RNG stream follows chunk contents)
     tiled_flat = renderer.render_rays(scene, enc, ray_d[perm], near[perm],
                                       far[perm], kr)
     for k in ("depth", "rgb"):
         np.testing.assert_allclose(tiled[k], tiled_flat[k], rtol=2e-6,
                                    atol=2e-6, err_msg=k)
-    assert flat["depth"].shape == tiled["depth"].shape
 
 
 def test_render_chunk_brick_matches_flat():

@@ -33,7 +33,11 @@ def _setup(fused):
     return cfg, model, scene, ray_d
 
 
+@pytest.mark.slow
 def test_fused_matches_flax_forward():
+    # slow: interpret-mode Pallas through the whole model forward (~250 s
+    # cold on 1 CPU core). The kernel-level chunked-backward test below
+    # stays in the fast set; on-chip parity is gated by script/chip_parity.py
     key = jax.random.PRNGKey(0)
     cfg, model, scene, ray_d = _setup("never")
     variables = jax.jit(model.init)(key, scene, ray_d[:4], key)
@@ -57,7 +61,9 @@ def test_fused_matches_flax_forward():
             np.asarray(out_ref[stage]["rgb"]), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_grads_match_flax():
+    # slow: interpret-mode fwd+bwd through the whole model (~505 s cold)
     key = jax.random.PRNGKey(0)
     cfg, model, scene, ray_d = _setup("never")
     variables = jax.jit(model.init)(key, scene, ray_d[:4], key)

@@ -28,7 +28,12 @@ def _params(key, c=96, heads=8):
     )
 
 
-@pytest.mark.parametrize("rn,sn", [(7, 64), (5, 128), (16, 32)])
+@pytest.mark.parametrize("rn,sn", [
+    (7, 64),
+    pytest.param(5, 128, marks=pytest.mark.slow),   # shape variants move
+    pytest.param(16, 32, marks=pytest.mark.slow),   # to the slow set (~35 s
+                                                    # interpret-mode each)
+])
 def test_fused_matches_reference(rn, sn):
     key = jax.random.PRNGKey(0)
     p = _params(jax.random.PRNGKey(1))

@@ -78,6 +78,9 @@ def test_gradients_match_reference(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # whole-model interpret-mode pass (~40 s cold CPU);
+# the kernel ships default-off (BASELINE round-3 A/B) and has fast
+# kernel-level parity above
 def test_model_fused_similarity_matches(rng):
     """Full render chunk with the fused cosine == the XLA loop."""
     from helpers import make_synthetic_scene

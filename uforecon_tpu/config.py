@@ -127,8 +127,11 @@ class Config:
     # per-tile host certification (uncertified tiles take the flat path via
     # lax.cond), 'never' = always flat gathers.
     volume_brick: str = "auto"           # auto | never
-    brick_tile: int = 32                 # ray tile side (tile^2 = chunk rays)
-    brick_n_seg: int = 8                 # along-ray slabs per brick set
+    # tile 16 / 4 slabs measured best in the on-chip query sweep
+    # (script/bench_brick_query.py: 1.34/1.14/1.13x per stage vs 1.27/0.95/
+    # 1.0x at 32/8) — smaller bricks beat fewer dynamic_slice dispatches
+    brick_tile: int = 16                 # ray tile side
+    brick_n_seg: int = 4                 # along-ray slabs per brick set
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 

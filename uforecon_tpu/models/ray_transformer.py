@@ -35,10 +35,8 @@ def query_correlation_volume(
     near_far: Tuple[jnp.ndarray, jnp.ndarray],
     fused: str = "auto",
     brick: Optional[Dict] = None,        # stage -> per-seg (BD, BH, BW) dims
-    bricks: Optional[Dict] = None,       # stage -> prebuilt flat brick buffer
     brick_origins: Optional[Dict] = None,  # stage -> (T, S, NV, 3)
     brick_flags: Optional[Dict[str, jnp.ndarray]] = None,
-    seg: Optional[jnp.ndarray] = None,   # (RN, SN) int32 along-ray slab ids
     brick_n_seg: int = 8,
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
@@ -54,16 +52,17 @@ def query_correlation_volume(
     (ops/fused_volume_fusion.py): 'auto' = on TPU, 'never' = the XLA
     chain below, 'always' = force (tests run the interpreter).
 
-    ``brick``/``bricks``/``brick_origins`` (static per-seg dims from
-    ops/brick_plan.py + the per-chunk prebuilt brick buffers and origins)
-    switch per-stage sampling to tile-local brick lookups
-    (ops/brick_gather.py) — bit-identical values; the scattered HBM gathers
-    they replace were measured 2.2-2.5x slower on coherent ray tiles
-    (script/bench_tile_gather.py). ``brick_flags[stage]`` (a traced
-    per-chunk bool) selects brick vs flat at run time via lax.cond: the
-    host planner certifies coverage per tile and routes the rare huge-
+    ``brick``/``brick_origins`` (static per-seg dims + this chunk's
+    (T, S, NV, 3) hull-minimum origins from ops/brick_plan.py) switch
+    per-stage sampling to tile-local brick gathers for STRATIFIED sample
+    grids (ops/brick_gather.brick_sample_coarse_packed) — bit-identical
+    values; the scattered HBM gathers they replace were measured 2.2-2.5x
+    slower on coherent ray tiles (script/bench_tile_gather.py). The caller
+    must only pass them for stratified (coarse) points whose sample axis
+    splits into n_seg static along-ray blocks. ``brick_flags[stage]`` (a
+    traced per-chunk bool) selects brick vs flat at run time via lax.cond:
+    the host planner certifies coverage per tile and routes the rare huge-
     footprint tiles (near another view's epipole) through the flat branch.
-    ``seg`` are the along-ray slab indices (ops/brick_gather.ray_segments).
 
     Args:
       volumes: stage -> corner-packed feat||weight volume
@@ -91,17 +90,17 @@ def query_correlation_volume(
         bd = brick.get(stage) if brick is not None else None
         if bd is not None and isinstance(bd[0], int):
             bd = (tuple(bd),) * brick_n_seg     # single triple -> per-seg
-        use_brick = (bd is not None and seg is not None
-                     and bricks is not None and stage in bricks
+        use_brick = (bd is not None and brick_origins is not None
+                     and points.ndim == 3
+                     and points.shape[1] % brick_n_seg == 0
                      and any(tuple(d) != (1, 1, 1) for d in bd))
         if use_brick:
-            from ..ops.brick_gather import brick_lookup
+            from ..ops.brick_gather import brick_sample_coarse_packed
 
             def brick_fn(p=packed, st=stage, dd=bd, c=c_out):
-                return brick_lookup(
-                    bricks[st], brick_origins[st], p.shape[1:4], dd,
-                    xyz, seg, n_seg=brick_n_seg, align_corners=True,
-                    padding_mode="zeros", c_out=c)
+                return brick_sample_coarse_packed(
+                    p, xyz, dd, brick_origins[st], n_seg=brick_n_seg,
+                    align_corners=True, padding_mode="zeros", c_out=c)
 
             if brick_flags is None:
                 fws.append(brick_fn())

@@ -176,8 +176,8 @@ class UFORecon(nn.Module):
     # ------------------------------------------------------------------
     def _point_features(self, scene: SceneInputs, enc: EncoderOutputs,
                         points: jnp.ndarray,
-                        volume_brick=None, bricks=None, brick_origins=None,
-                        brick_flags=None, seg=None) -> Dict[str, jnp.ndarray]:
+                        volume_brick=None, brick_origins=None,
+                        brick_flags=None) -> Dict[str, jnp.ndarray]:
         """Per-point half of sample2rgb (model.py:308-332): similarity +
         volume queries and the view-token transformer / radiance blend.
 
@@ -202,9 +202,8 @@ class UFORecon(nn.Module):
             fea_volume_feat = query_correlation_volume(
                 points, scene.source_poses, enc.volumes,
                 (scene.near, scene.far), fused=c.fused_volume_fusion,
-                brick=volume_brick, bricks=bricks,
-                brick_origins=brick_origins, brick_flags=brick_flags,
-                seg=seg, brick_n_seg=c.brick_n_seg,
+                brick=volume_brick, brick_origins=brick_origins,
+                brick_flags=brick_flags, brick_n_seg=c.brick_n_seg,
             )
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_volume_feat = grid_sample_3d(
@@ -258,12 +257,11 @@ class UFORecon(nn.Module):
         ``volume_brick`` (static per-stage per-segment (BD, BH, BW) dims
         from ops/brick_plan.py) + ``brick_origins`` (this chunk's
         (T, S, NV, 3) planner hull minima) enable tile-local
-        correlation-volume gathers; callers must then pass rays in
-        ``cfg.brick_tile``-square tile-major order (pipeline/renderer.py).
-        Bricks are built ONCE here and shared by the coarse and fine
-        passes. ``brick_flags`` (per-chunk traced bools) select brick vs
-        flat per stage at run time for tiles the planner could not
-        certify."""
+        correlation-volume gathers for the coarse pass; callers must then
+        pass rays in ``cfg.brick_tile``-square tile-major order
+        (pipeline/renderer.py). ``brick_flags`` (per-chunk traced bools)
+        select brick vs flat per stage at run time for tiles the planner
+        could not certify."""
         c = self.cfg
         rn = ray_d.shape[0]
         ray_o = jnp.broadcast_to(scene.ray_o, (rn, 3))
@@ -278,23 +276,12 @@ class UFORecon(nn.Module):
             k_coarse, ray_o, ray_d, n_coarse, near=near, far=far,
             sample_radius=c.sample_radius,
         )
-        seg_c = None
-        bricks = None
-        if volume_brick is not None and brick_origins is not None:
-            from ..ops.brick_gather import build_bricks, ray_segments
-
-            seg_c = ray_segments(z_val, near, far, c.brick_n_seg)
-            # ONE build serves both passes: origins are the planner's hull
-            # minima (pass-independent), not point minima
-            bricks = {
-                s: build_bricks(enc.volumes[s], brick_origins[s],
-                                volume_brick[s], n_seg=c.brick_n_seg)
-                for s in enc.volumes
-                if any(tuple(d) != (1, 1, 1) for d in volume_brick[s])
-            }
+        # Brick gathers apply to the COARSE pass only: stratified sampling
+        # makes each sample-index block a static along-ray segment
+        # (ops/brick_gather.brick_sample_coarse_packed); importance samples
+        # have data-dependent segments and keep the flat gathers.
         pp_c = self._point_features(scene, enc, points, volume_brick,
-                                    bricks, brick_origins, brick_flags,
-                                    seg_c)
+                                    brick_origins, brick_flags)
         out_c = self._render_sequence(z_val, pp_c)
         if coarse_only:
             return {"coarse": out_c, "fine": out_c}
@@ -308,14 +295,7 @@ class UFORecon(nn.Module):
         # the per-point stage is sample-independent, so only the NEW fine
         # points are computed and the coarse outputs are re-used — the merge
         # becomes an output permutation by sorted z (identical math).
-        seg_f = None
-        if volume_brick is not None and brick_origins is not None:
-            from ..ops.brick_gather import ray_segments
-
-            seg_f = ray_segments(z2, near, far, c.brick_n_seg)
-        pp_f = self._point_features(scene, enc, points_f, volume_brick,
-                                    bricks, brick_origins, brick_flags,
-                                    seg_f)
+        pp_f = self._point_features(scene, enc, points_f)
         z_cat = jnp.concatenate([z_val, z2], axis=1)
         order = jnp.argsort(z_cat, axis=1)
         # apply the sort permutation as a dense one-hot MXU contraction over
