@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--encoder_dtype", default="",
+                    help="matcher-only dtype override (mixed policy: "
+                         "bfloat16 matcher / float32 render head)")
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--h", type=int, default=512)
     ap.add_argument("--w", type=int, default=640)
@@ -35,7 +38,7 @@ def main():
                                                make_optimizer,
                                                make_train_step)
 
-    cfg = Config(compute_dtype=args.dtype)
+    cfg = Config(compute_dtype=args.dtype, encoder_dtype=args.encoder_dtype)
     scene, ray_d = _tiny_scene(n_views=args.views, h=args.h, w=args.w,
                                ndepth=192)
     from uforecon_tpu.models.uforecon import UFORecon
@@ -69,6 +72,7 @@ def main():
         times.append(time.perf_counter() - t0)
     print(json.dumps({"step_s": round(min(times), 3),
                       "dtype": args.dtype,
+                      "encoder_dtype": args.encoder_dtype or args.dtype,
                       "steps_per_sec": round(1 / min(times), 3)}))
 
 

@@ -218,6 +218,42 @@ def test_coarse_blocks_bit_equal():
                                       err_msg=stage)
 
 
+def test_coarse_mxu_matches_flat():
+    """The gather-free MXU sampler (2-hot weight contractions against the
+    brick) matches the flat packed sampler to float association order
+    (~1e-7 f32 on CPU) with zero violations on certified tiles."""
+    from uforecon_tpu.ops.brick_gather import brick_sample_coarse_mxu
+
+    tile = 16
+    scene, _, _, volumes, stage_shapes, ex = _tile_scene(tile=tile)
+    rng = np.random.default_rng(33)
+    sn = 16
+    nr = float(scene.near)
+    fr = float(scene.far)
+    rays = np.asarray(ex["ray_d"]).reshape(-1, 3)
+    perm, _ = tile_order(*ex["hw"], tile)
+    rays = rays[perm][: tile * tile]
+    u = rng.random((rays.shape[0], sn))
+    t = nr + (fr - nr) * (np.arange(sn)[None] + u) / sn
+    pts = jnp.asarray(np.asarray(scene.ray_o)[None, None]
+                      + rays[:, None] * t[..., None], jnp.float32)
+    plan = _plan(scene, ex, tile, stage_shapes)
+    _, xyz, _ = project_points_ndc(scene.source_poses, pts,
+                                   near_far=(scene.near, scene.far))
+    for stage, packed in volumes.items():
+        if not plan.flags[stage][0]:
+            continue
+        ref = grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                    padding_mode="zeros")
+        got, viol = brick_sample_coarse_mxu(
+            packed, xyz, plan.dims[stage],
+            jnp.asarray(plan.origins[stage][:1]), n_seg=N_SEG,
+            return_violations=True)
+        assert int(viol) == 0, stage
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6, err_msg=stage)
+
+
 def test_lane_padded_pack_bit_equal():
     """corner_pad=16 (128-lane rows, the OOM-avoiding layout) + c_out=9
     must reproduce the unpadded samplers bit-for-bit, flat and brick."""
@@ -274,6 +310,10 @@ def test_plan_flags_uncertified_tiles():
         assert not plan.flags["stage3"].any()
 
 
+@pytest.mark.slow  # two full render_rays compiles (~120 s cold CPU); the
+# model-level cond plumbing is covered fast by
+# test_render_chunk_brick_matches_flat, and bench.py exercises this path
+# on chip every round
 def test_renderer_brick_plan_end_to_end():
     """SceneRenderer.render_rays with a BrickPlan: per-chunk flag
     partitioning + tile-major ordering reproduce the flat render."""
@@ -358,10 +398,13 @@ def test_render_chunk_brick_matches_flat():
     flat = model.apply(variables, scene, enc, ray_d, kr,
                        method=model.render_chunk)
 
+    origins = {s: jnp.asarray(plan.origins[s][:1]) for s in plan.origins}
+
     def run(flag):
         flags = {s: jnp.asarray(flag) for s in plan.dims}
         return model.apply(variables, scene, enc, ray_d, kr,
-                           volume_brick=plan.dims, brick_flags=flags,
+                           volume_brick=plan.dims, brick_origins=origins,
+                           brick_flags=flags,
                            method=model.render_chunk)
 
     on, off = run(True), run(False)

@@ -37,12 +37,14 @@ def test_linear_attention_matches_torch_reference(rng):
 
 def test_featurenet_shapes(rng):
     net = FeatureNet(base_channels=8)
-    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
-    variables = net.init(jax.random.PRNGKey(0), x)
-    out = net.apply(variables, x)
-    assert out["stage1"].shape == (2, 16, 16, 32)
-    assert out["stage2"].shape == (2, 32, 32, 16)
-    assert out["stage3"].shape == (2, 64, 64, 8)
+    # smallest shape exercising all three strides (1 batch: init+apply on
+    # 1 CPU core was the 3rd-slowest fast test at (2, 64, 64))
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(net.apply)(variables, x)
+    assert out["stage1"].shape == (1, 8, 8, 32)
+    assert out["stage2"].shape == (1, 16, 16, 16)
+    assert out["stage3"].shape == (1, 32, 32, 8)
 
 
 def test_homo_warp_identity(rng):
@@ -57,6 +59,63 @@ def test_homo_warp_identity(rng):
     out = homo_warp(feat, proj, proj, depth)
     assert out.shape == (5, h, w, c)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(feat), atol=1e-4)
+
+
+def test_homo_warp_grid_stays_f32_under_bf16(rng):
+    """Warp GEOMETRY must be f32 even when features run bf16: at W=640 a
+    bf16 pixel coordinate carries ~2 px of rounding error (the mixed
+    encoder_dtype policy would otherwise warp from the wrong place)."""
+    from uforecon_tpu.models.cascade import homo_warp_grid
+
+    h, w = 64, 640
+    K = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]], np.float32)
+    src = np.eye(4, dtype=np.float32)
+    src[:3, :3] = K
+    src[0, 3] = 3.7  # translated source view -> non-integer positions
+    ref = np.eye(4, dtype=np.float32)
+    ref[:3, :3] = K
+    depth = jnp.full((2, h, w), 3.0, jnp.float32)
+    g32 = homo_warp_grid(jnp.asarray(src), jnp.asarray(ref), depth,
+                         jnp.float32)
+    gbf = homo_warp_grid(jnp.asarray(src).astype(jnp.bfloat16),
+                         jnp.asarray(ref).astype(jnp.bfloat16), depth,
+                         jnp.bfloat16)
+    assert g32.dtype == jnp.float32 and gbf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(g32), atol=1e-5)
+
+
+def test_encoder_dtype_mixed_policy(rng):
+    """encoder_dtype=bfloat16 + compute_dtype=float32: same param tree as
+    full-f32, render output finite and close (frozen matcher runs bf16,
+    render head stays f32)."""
+    from helpers import make_synthetic_scene
+
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+
+    kw = dict(coarse_sample=8, fine_sample=8, ndepths=(8, 8, 8),
+              fmt_layer_names=("self", "cross"), numdepth=32,
+              mvs_depth_guide=1, depth_pos_encoding=True,
+              explicit_similarity=True, volume_brick="never")
+    scene, extras = make_synthetic_scene(n_views=3, h=64, w=64, ndepth=32)
+    ray_d = jnp.asarray(extras["ray_d"][:8])
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    trees = {}
+    for name, enc_dt in (("f32", ""), ("mixed", "bfloat16")):
+        cfg = Config(**kw, encoder_dtype=enc_dt)
+        model = UFORecon(cfg)
+        variables = jax.jit(model.init)(key, scene, ray_d[:4], key)
+        trees[name] = jax.tree_util.tree_structure(variables)
+        outs[name] = model.apply(variables, scene, ray_d[:4], key)
+    assert trees["f32"] == trees["mixed"]
+    for k in ("rgb", "depth"):
+        a = np.asarray(outs["f32"]["fine"][k])
+        b = np.asarray(outs["mixed"]["fine"][k])
+        assert np.all(np.isfinite(b)), k
+        # bf16 matcher perturbs features; outputs stay in the same regime
+        np.testing.assert_allclose(b, a, rtol=0.2, atol=0.2, err_msg=k)
 
 
 def test_combine_projection():

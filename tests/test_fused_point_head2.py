@@ -39,6 +39,8 @@ def _make(rng, nv=3, n=37):
     return inp, p
 
 
+@pytest.mark.slow  # interpret-mode whole head (~15 s cold CPU); v2 is the
+# measured-slower layout kept only for re-measurement (BASELINE.md)
 def test_v2_fused_matches_reference(rng):
     inp, p = _make(rng)
     tok_f, rad_f = fph2.point_head2_fused(inp, p, n_heads=4)

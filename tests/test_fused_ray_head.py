@@ -62,6 +62,8 @@ def test_fused_matches_flax_module():
                                rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow  # interpret-mode fwd+bwd (~23 s cold CPU); forward
+# parity stays fast above and the on-chip grad gate is chip_parity.py
 def test_gradients_match_reference():
     p = _params(jax.random.PRNGKey(3))
     y = jax.random.normal(jax.random.PRNGKey(4), (3, 32, 96), jnp.float32)

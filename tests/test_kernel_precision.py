@@ -75,7 +75,11 @@ def test_bf16x3_numerics():
     """
     import json
     import os
-    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_KERNEL_PRECISION="high")
+    # UFO_PLATFORM forces cpu even under the sitecustomize override —
+    # without it this subprocess stalls minutes on the axon device probe
+    # whenever the tunnel is down (measured 263 s in the cold suite)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_PLATFORM="cpu",
+               UFO_KERNEL_PRECISION="high")
     out = subprocess.run([sys.executable, "-c", _BF16X3], capture_output=True,
                          text=True, env=env, cwd="/root/repo")
     assert out.returncode == 0, out.stderr

@@ -12,10 +12,12 @@ from uforecon_tpu.data.general_fit import GeneralFit
 from helpers import look_at
 
 
-@pytest.fixture
-def dtu_train_dir(tmp_path, rng):
+@pytest.fixture(scope="module")  # read-only dir; building it writes 42
+def dtu_train_dir(tmp_path_factory):  # PNGs + 6 PFMs (~3.5 s per test)
     from PIL import Image
 
+    rng = np.random.default_rng(0)
+    tmp_path = tmp_path_factory.mktemp("dtu_train")
     root = tmp_path / "DTU"
     (root / "Cameras" / "train").mkdir(parents=True)
     (root / "Rectified" / "scanA_train").mkdir(parents=True)

@@ -106,6 +106,13 @@ class Config:
 
     # ---- TPU execution ------------------------------------------------
     compute_dtype: str = "float32"       # float32 | bfloat16 for network matmuls
+    # Matcher (frozen TransMVSNet-equivalent) compute dtype override; "" =
+    # follow compute_dtype. bf16 matcher + f32 render head is the mixed
+    # train-step policy: the matcher takes no gradients (reference
+    # model.py:82-83), its warp GRIDS stay f32 regardless (cascade.py
+    # homo_warp_grid), and the precision-sensitive render head (the round-2
+    # divergence, docs/DESIGN.md §3) keeps full f32.
+    encoder_dtype: str = ""              # "" | float32 | bfloat16
     volume_dtype: str = "bfloat16"       # storage dtype of the corner-packed
                                          # correlation volumes (bf16: 8x corner
                                          # duplication must fit HBM; float32
@@ -132,6 +139,11 @@ class Config:
     # 1.0x at 32/8) — smaller bricks beat fewer dynamic_slice dispatches
     brick_tile: int = 16                 # ray tile side
     brick_n_seg: int = 4                 # along-ray slabs per brick set
+    # 'gather' = per-row brick gathers (bit-equal to flat); 'mxu' = dense
+    # 2-hot interpolation-weight contractions against the brick — gather-
+    # free, MXU-bound, ~1e-7/1e-6 float-association difference (parity-
+    # gated like the fused kernels, not bit-equal)
+    brick_kernel: str = "gather"         # gather | mxu
     mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'rays' axis
     donate_buffers: bool = True
 
@@ -244,6 +256,7 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
     p.add_argument("--use_dir_srdf", action="store_true")
     p.add_argument("--only_reference_frustum", action="store_true")
     p.add_argument("--compute_dtype", type=str, default=dflt.compute_dtype)
+    p.add_argument("--encoder_dtype", type=str, default=dflt.encoder_dtype)
     p.add_argument("--mesh_shape", type=str, default="1")
     a = p.parse_args(argv)
 
@@ -277,5 +290,6 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
         mvs_depth_guide=a.mvs_depth_guide, depth_pos_encoding=a.depth_pos_encoding,
         explicit_similarity=a.explicit_similarity, use_dir_srdf=a.use_dir_srdf,
         only_reference_frustum=a.only_reference_frustum,
-        compute_dtype=a.compute_dtype, mesh_shape=ints(a.mesh_shape),
+        compute_dtype=a.compute_dtype, encoder_dtype=a.encoder_dtype,
+        mesh_shape=ints(a.mesh_shape),
     )

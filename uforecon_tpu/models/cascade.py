@@ -55,15 +55,25 @@ def homo_warp_grid(
     reference hypothesis planes (the geometry half of homo_warping_trans,
     module.py:329-367): pixel grid back-projected at each hypothesis depth,
     projected into the source view; points behind the camera pushed to -99
-    (off-image). Returns (D, H, W, 2) normalized (x, y)."""
+    (off-image). Returns (D, H, W, 2) normalized (x, y).
+
+    Geometry is ALWAYS computed in float32 regardless of the feature
+    compute dtype (``dtype`` is ignored, kept for API compat): bf16 pixel
+    coordinates at W=640 carry ~2 px of rounding error, which would warp
+    features from the wrong place entirely. Gather cost is dtype-
+    independent, so a f32 grid over bf16 features loses nothing."""
+    del dtype
     d, h, w = depth_values.shape
+    depth_values = depth_values.astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
+    src_proj = src_proj.astype(jnp.float32)
+    ref_proj = ref_proj.astype(jnp.float32)
     proj = jnp.einsum("ij,jk->ik", src_proj, jnp.linalg.inv(ref_proj), precision=hp)
     rot, trans = proj[:3, :3], proj[:3, 3]
 
     ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=dtype),
-        jnp.arange(w, dtype=dtype),
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
     ones = jnp.ones_like(xs)

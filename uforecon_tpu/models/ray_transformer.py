@@ -38,6 +38,7 @@ def query_correlation_volume(
     brick_origins: Optional[Dict] = None,  # stage -> (T, S, NV, 3)
     brick_flags: Optional[Dict[str, jnp.ndarray]] = None,
     brick_n_seg: int = 8,
+    brick_kernel: str = "gather",        # gather | mxu (see brick_gather)
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
 
@@ -95,10 +96,17 @@ def query_correlation_volume(
                      and points.shape[1] % brick_n_seg == 0
                      and any(tuple(d) != (1, 1, 1) for d in bd))
         if use_brick:
-            from ..ops.brick_gather import brick_sample_coarse_packed
+            from ..ops.brick_gather import (brick_sample_coarse_mxu,
+                                            brick_sample_coarse_packed)
 
-            def brick_fn(p=packed, st=stage, dd=bd, c=c_out):
-                return brick_sample_coarse_packed(
+            # 'mxu' replaces the per-row brick gathers with dense 2-hot
+            # weight contractions (gather-free; ~1e-7/1e-6 float-association
+            # difference, parity-gated); 'gather' stays bit-equal to flat
+            sampler = (brick_sample_coarse_mxu if brick_kernel == "mxu"
+                       else brick_sample_coarse_packed)
+
+            def brick_fn(p=packed, st=stage, dd=bd, c=c_out, fn=sampler):
+                return fn(
                     p, xyz, dd, brick_origins[st], n_seg=brick_n_seg,
                     align_corners=True, padding_mode="zeros", c_out=c)
 

@@ -74,6 +74,10 @@ class UFORecon(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        # mixed policy: the frozen matcher may run bf16 while the trained,
+        # precision-sensitive render head stays f32 (config.encoder_dtype)
+        enc_dt = c.encoder_dtype or c.compute_dtype
+        enc_dtype = jnp.bfloat16 if enc_dt == "bfloat16" else jnp.float32
         self.matcher = CascadeMatcher(
             ndepths=c.ndepths,
             depth_intervals_ratio=c.depth_inter_r,
@@ -81,7 +85,7 @@ class UFORecon(nn.Module):
             fmt_layer_names=c.fmt_layer_names,
             grad_method=c.grad_method,
             share_cr=c.share_cr,
-            dtype=dtype,
+            dtype=enc_dtype,
         )
         if c.volume_type == "correlation" and c.volume_reso > 0:
             self.mvs_volume = CostRegNetWeight(base_channels=8, dtype=dtype)
@@ -204,6 +208,7 @@ class UFORecon(nn.Module):
                 (scene.near, scene.far), fused=c.fused_volume_fusion,
                 brick=volume_brick, brick_origins=brick_origins,
                 brick_flags=brick_flags, brick_n_seg=c.brick_n_seg,
+                brick_kernel=c.brick_kernel,
             )
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_volume_feat = grid_sample_3d(

@@ -294,6 +294,125 @@ def brick_sample_coarse_packed(
     return out
 
 
+def brick_sample_coarse_mxu(
+    packed: jnp.ndarray,       # (NV, D, H, W, 8*C)
+    grid: jnp.ndarray,         # (NV, RN, SN, 3) normalized (x, y, z)
+    brick_dims,                # static per-seg dims | one triple
+    origins: jnp.ndarray,      # (T, S, NV, 3) planner hull minima
+    n_seg: int = 8,
+    align_corners: bool = True,
+    padding_mode: str = "zeros",
+    return_violations: bool = False,
+    c_out: int = None,
+):
+    """Gather-free brick sampling: trilinear interpolation as MXU matmuls.
+
+    Same blocking contract as brick_sample_coarse_packed (stratified coarse
+    samples -> static per-segment sample blocks), but instead of per-row
+    gathers from the brick, each point's trilinear read becomes a dense
+    contraction against the WHOLE brick: per axis a 2-hot interpolation-
+    weight vector (1-f at base, f at base+1, masked by volume validity =
+    torch zeros-padding), the two largest brick axes contracted on the MXU
+    (weights outer-product x brick), the smallest reduced on the VPU.
+    FLOP/point = brick_rows x C — cheap because planner bricks are small
+    (~0.5-1.2k rows) — and the scattered-gather issue-rate bottleneck
+    (~74M rows/s, BASELINE.md) disappears entirely.
+
+    Consumes the same corner-packed volume as the gather samplers (the
+    corner-(0,0,0) channel block IS the raw volume), so no extra storage.
+    Values match grid_sample_3d_packed to float-association order (~1e-7
+    at HIGHEST; UFO_KERNEL_PRECISION=high uses HIGH, ~1e-6) — parity-gated
+    like the fused kernels rather than bit-equal.
+
+    Reference workload: per-point trilinear volume sampling,
+    /root/reference/code1/model.py:350-390.
+    """
+    from .kernel_precision import FORWARD_PRECISION
+
+    assert padding_mode in ("zeros", "border"), padding_mode
+    NV, D, H, W, C8 = packed.shape
+    C = C8 // 8
+    vol = packed[..., :C]      # corner-(0,0,0) block = the raw volume values
+    dims = _norm_dims(brick_dims, n_seg, D, H, W)
+    _, RN, SN, _ = grid.shape
+    T = origins.shape[0]
+    assert RN % T == 0 and SN % n_seg == 0, (RN, T, SN, n_seg)
+    rpt = RN // T
+    m = SN // n_seg
+
+    (x0, y0, z0), (fx, fy, fz), relevant = _base_indices(
+        packed.shape, grid.reshape(NV, -1, 3), align_corners, padding_mode)
+
+    # points of segment s = static sample-index block [:, :, :, s, :]
+    def seg_of(a, s):
+        return a.reshape(NV, T, rpt, n_seg, m)[:, :, :, s].reshape(
+            NV, T, rpt * m)
+
+    def weights_1d(base, frac, size, bdim, org):
+        """2-hot (NV, T, P, bdim) interpolation weights in LOCAL brick
+        coords, volume-validity-masked (zeros padding)."""
+        la = base - org[..., None]                       # (NV, T, P)
+        w0 = jnp.clip(1.0 - jnp.abs(frac), 0.0, 1.0)
+        w1 = jnp.clip(frac, 0.0, 1.0)
+        w1 = w1 * (base + 1 <= size - 1)                 # volume edge -> 0
+        ids = jnp.arange(bdim, dtype=jnp.int32)
+        sel0 = (la[..., None] == ids).astype(jnp.float32)
+        sel1 = (la[..., None] + 1 == ids).astype(jnp.float32)
+        w = w0[..., None] * sel0 + w1[..., None] * sel1
+        bad0 = (w0 > 0) & ((la < 0) | (la > bdim - 1))
+        bad1 = (w1 > 0) & ((la + 1 < 0) | (la + 1 > bdim - 1))
+        return w, (bad0 | bad1)
+
+    parts = []
+    bad_total = 0
+    for s in range(n_seg):
+        BD, BH, BW = dims[s]
+        org_s = jnp.transpose(origins[:, s], (1, 0, 2))    # (NV, T, 3)
+
+        def per_view(v3, ot):
+            def per_tile(o):
+                return jax.lax.dynamic_slice(
+                    v3, (o[0], o[1], o[2], 0), (BD, BH, BW, C))
+            return jax.vmap(per_tile)(ot)
+
+        bricks = jax.vmap(per_view)(vol, org_s)     # (NV, T, BD, BH, BW, C)
+
+        wz, badz = weights_1d(seg_of(z0, s), seg_of(fz, s), D, BD,
+                              org_s[..., 0])
+        wy, bady = weights_1d(seg_of(y0, s), seg_of(fy, s), H, BH,
+                              org_s[..., 1])
+        wx, badx = weights_1d(seg_of(x0, s), seg_of(fx, s), W, BW,
+                              org_s[..., 2])
+
+        # contract the two largest axes on the MXU, reduce the smallest on
+        # the VPU: FLOP identical for any split, intermediates smallest
+        order = sorted(range(3), key=lambda i: -(BD, BH, BW)[i])
+        ws = (wz, wy, wx)
+        hp = FORWARD_PRECISION
+        a, b = sorted(order[:2])
+        keep = order[2]
+        sub = "zyx"
+        w2 = jnp.einsum(f"vtp{sub[a]},vtp{sub[b]}->vtp{sub[a]}{sub[b]}",
+                        ws[a], ws[b])
+        acc = jnp.einsum(
+            f"vtp{sub[a]}{sub[b]},vtzyxc->vtp{sub[keep]}c",
+            w2, bricks, precision=hp)                 # (NV, T, P, dkeep, C)
+        out_s = jnp.einsum(f"vtp{sub[keep]},vtp{sub[keep]}c->vtpc",
+                           ws[keep], acc)             # (NV, T, P, C)
+        parts.append(out_s.reshape(NV, T, rpt, m, C))
+        if return_violations:
+            rel_s = seg_of(relevant, s)
+            bad = (badz | bady | badx) & rel_s
+            bad_total = bad_total + jnp.sum(bad.astype(jnp.int32))
+
+    out = jnp.concatenate(parts, axis=3).reshape(NV, RN, SN, C)
+    if c_out is not None:
+        out = out[..., :c_out]
+    if return_violations:
+        return out, bad_total
+    return out
+
+
 def brick_sample_3d_packed(
     packed: jnp.ndarray,                 # (NV, D, H, W, 8*C)
     grid: jnp.ndarray,                   # (NV, ..., 3) normalized (x, y, z)
