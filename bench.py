@@ -102,6 +102,10 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline_rps, 3),
+        # whether tile-local brick gathers actually engaged: when the host
+        # planner declines (can't certify / wrong backend / tiling mismatch)
+        # the bench silently measures the flat path — this field says which
+        "brick": plan is not None,
     }))
 
 

@@ -183,39 +183,61 @@ def test_brick_multi_tile_grouping():
 
 def test_coarse_blocks_bit_equal():
     """The production coarse-pass sampler (static sample-index blocks, no
-    per-point segment machinery) is bit-equal to the flat sampler on
-    STRATIFIED samples — the only kind it accepts."""
+    per-point segment machinery) is bit-equal to the flat sampler on the
+    PRODUCTION sample distribution: points generated by sample_coarse itself
+    (linspace +-half-interval jitter — whose support overhangs the nominal
+    slab boundaries and near/far by 0.5/(SN-1)) over several seeds, plus a
+    deterministic worst case pinning every sample to the extreme ends of its
+    jitter support."""
     from uforecon_tpu.ops.brick_gather import brick_sample_coarse_packed
+    from uforecon_tpu.ops.sampling import sample_coarse
 
     tile = 16
     scene, _, _, volumes, stage_shapes, ex = _tile_scene(tile=tile)
-    rng = np.random.default_rng(21)
     sn = 16
     nr = float(scene.near)
     fr = float(scene.far)
     rays = np.asarray(ex["ray_d"]).reshape(-1, 3)
     perm, _ = tile_order(*ex["hw"], tile)
     rays = rays[perm][: tile * tile]
-    # stratified: sample i jittered inside stratum i (ops/sampling.py)
-    u = rng.random((rays.shape[0], sn))
-    t = nr + (fr - nr) * (np.arange(sn)[None] + u) / sn
-    pts = jnp.asarray(np.asarray(scene.ray_o)[None, None]
-                      + rays[:, None] * t[..., None], jnp.float32)
-    plan = _plan(scene, ex, tile, stage_shapes)
-    _, xyz, _ = project_points_ndc(scene.source_poses, pts,
-                                   near_far=(scene.near, scene.far))
-    for stage, packed in volumes.items():
-        if not plan.flags[stage][0]:
-            continue
-        ref = grid_sample_3d_packed(packed, xyz, align_corners=True,
-                                    padding_mode="zeros")
-        got, viol = brick_sample_coarse_packed(
-            packed, xyz, plan.dims[stage],
-            jnp.asarray(plan.origins[stage][:1]), n_seg=N_SEG,
-            return_violations=True)
-        assert int(viol) == 0, stage
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
-                                      err_msg=stage)
+    rn = rays.shape[0]
+    ray_o = jnp.broadcast_to(jnp.asarray(scene.ray_o), (rn, 3))
+    near_r = jnp.full((rn,), nr, jnp.float32)
+    far_r = jnp.full((rn,), fr, jnp.float32)
+
+    point_sets = [
+        sample_coarse(jax.random.PRNGKey(s), ray_o, jnp.asarray(rays), sn,
+                      near=near_r, far=far_r)[0]
+        for s in range(4)
+    ]
+    # worst-case jitter: every sample at +0.5 (rays' first half) or -0.5
+    # (second half) of its support — exactly the boundary overhang the
+    # planner's widened surfaces must cover
+    base = np.linspace(0.0, 1.0, sn, dtype=np.float32)
+    half = 0.5 / (sn - 1)
+    t_hi = nr + (fr - nr) * np.minimum(base + half, base + half)
+    t_lo = nr + (fr - nr) * (base - half)
+    t_ext = np.where(np.arange(rn)[:, None] < rn // 2, t_hi[None], t_lo[None])
+    point_sets.append(jnp.asarray(
+        np.asarray(scene.ray_o)[None, None]
+        + rays[:, None] * t_ext[..., None], jnp.float32))
+
+    plan = _plan(scene, ex, tile, stage_shapes, point_num=sn)
+    for pts in point_sets:
+        _, xyz, _ = project_points_ndc(scene.source_poses, pts,
+                                       near_far=(scene.near, scene.far))
+        for stage, packed in volumes.items():
+            if not plan.flags[stage][0]:
+                continue
+            ref = grid_sample_3d_packed(packed, xyz, align_corners=True,
+                                        padding_mode="zeros")
+            got, viol = brick_sample_coarse_packed(
+                packed, xyz, plan.dims[stage],
+                jnp.asarray(plan.origins[stage][:1]), n_seg=N_SEG,
+                return_violations=True)
+            assert int(viol) == 0, stage
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                          err_msg=stage)
 
 
 def test_coarse_mxu_matches_flat():

@@ -147,8 +147,12 @@ class UFORecon(nn.Module):
                 # lanes) when the brick path may engage: slicing a 72-lane
                 # volume inside the render loop forces full padded relayout
                 # copies (measured 7.03 GB HLO temps -> OOM); 128-lane rows
-                # slice in place. Samplers slice back to 9 (c_out).
-                corner_pad = 16 if c.volume_brick != "never" else None
+                # slice in place. Samplers slice back to 9 (c_out). Gated on
+                # TPU: bricks never engage on other backends (renderer
+                # _plan_bricks), so the 78% HBM inflation would buy nothing.
+                corner_pad = 16 if (c.volume_brick != "never"
+                                    and jax.default_backend() == "tpu") \
+                    else None
 
                 def head(mdl, carry, cv_r):
                     f, w = mdl.mvs_volume(cv_r[None, ..., None])

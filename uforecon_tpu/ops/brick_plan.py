@@ -106,6 +106,7 @@ def plan_volume_bricks(
     margin: int = 2,
     row_budget: int = 1 << 16,
     min_coverage: float = 0.5,
+    point_num: Optional[int] = None,
 ) -> Optional[BrickPlan]:
     """Covering dims + per-tile flags per stage, or None when not worth it.
 
@@ -116,6 +117,16 @@ def plan_volume_bricks(
     (or cannot be certified) are flagged False. Returns None when no stage
     reaches ``min_coverage`` — the renderer then keeps today's flat path
     with zero overhead.
+
+    ``point_num`` is the coarse sampler's SN. The production sampler
+    (ops/sampling.py sample_coarse, mirroring the reference
+    sampler.py:33-41) jitters linspace(0, 1, SN) by +-0.5/(SN-1), so the
+    static sample-index block s = [s*m, (s+1)*m) (m = SN/S) has t support
+    [(s*m - 0.5), ((s+1)*m - 0.5)] / (SN - 1) — NOT the nominal slab
+    [s/S, (s+1)/S]. Each cell's bounding surfaces are widened to the UNION
+    of both (the union also keeps ray_segments-binned consumers covered),
+    so the covering-dims certificate holds for the real jitter
+    distribution, including the end blocks' overhang past near/far.
     """
     poses = np.asarray(poses, np.float64)
     ray_o = np.asarray(ray_o, np.float64)
@@ -125,10 +136,27 @@ def plan_volume_bricks(
         np.asarray(t_far_img, np.float64), tile)
     nt = d.shape[0]
 
-    # cell vertices: corner rays at the S+1 slab surfaces -> (nt, 4, S+1, 3)
+    # slab surfaces in t fraction. With point_num: widen to the union of the
+    # nominal k/S surfaces and the jittered sample-block support boundaries
+    # (k*m - 0.5)/(SN - 1); cell k is bounded below by surface k's lower
+    # candidate and above by surface k+1's upper candidate. All candidates
+    # are reference-camera z-planes, so hull certification is unaffected.
     frac = np.arange(n_seg + 1, dtype=np.float64) / n_seg
-    tb = tn[..., None] + (tf - tn)[..., None] * frac
-    X = ray_o + tb[..., None] * d[:, :, None, :]
+    if point_num is not None and point_num > 1:
+        assert point_num % n_seg == 0, (point_num, n_seg)
+        m = point_num // n_seg
+        ext = (np.arange(n_seg + 1, dtype=np.float64) * m - 0.5) \
+            / (point_num - 1)
+        frac_lo = np.minimum(frac, ext)
+        frac_hi = np.maximum(frac, ext)
+    else:
+        frac_lo = frac_hi = frac
+
+    # cell vertices: corner rays at the S+1 lo/hi surface pairs
+    # -> (nt, 4, S+1, 2, 3); cell k spans [lo surface k, hi surface k+1]
+    fr2 = np.stack([frac_lo, frac_hi], -1)                 # (S+1, 2)
+    tb = tn[..., None, None] + (tf - tn)[..., None, None] * fr2
+    X = ray_o + tb[..., None] * d[:, :, None, None, :]
     X1 = np.concatenate([X, np.ones_like(X[..., :1])], -1)
 
     nv = poses.shape[0]
@@ -142,10 +170,10 @@ def plan_volume_bricks(
         ext = np.ones((nt, n_seg, 3), np.int64)
         cert = np.ones((nt, n_seg), bool)
         for v in range(nv):
-            pr = X1 @ poses[v].T                          # (nt, 4, S+1, 4)
+            pr = X1 @ poses[v].T                       # (nt, 4, S+1, 2, 4)
             pz = pr[..., 2]
-            # cell k uses surfaces k and k+1 of all 4 corner rays
-            czs = np.stack([pz[:, :, :-1], pz[:, :, 1:]], -1)  # (nt,4,S,2)
+            # cell k uses lo surface k and hi surface k+1, all 4 corner rays
+            czs = np.stack([pz[:, :, :-1, 0], pz[:, :, 1:, 1]], -1)
             ok = np.all(czs > _EPS_DEPTH, axis=(1, 3))         # (nt, S)
             cert &= ok
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -154,7 +182,7 @@ def plan_volume_bricks(
                 vz = (pz - near) / (far - near) * max(D - 1, 1)
 
             def cell_lo_ext(vc, size):
-                c = np.stack([vc[:, :, :-1], vc[:, :, 1:]], -1)  # (nt,4,S,2)
+                c = np.stack([vc[:, :, :-1, 0], vc[:, :, 1:, 1]], -1)
                 vmin = np.nan_to_num(c.min(axis=(1, 3)), nan=0.0,
                                      posinf=size, neginf=0.0)
                 vmax = np.nan_to_num(c.max(axis=(1, 3)), nan=0.0,

@@ -137,6 +137,14 @@ class SceneRenderer:
         plan = volume_brick
         if plan is not None:
             stages = tuple(plan.dims.keys())
+            # the plan's flags/origins are indexed from tile 0: callers must
+            # pass the FULL tile-major ray set the plan was built for, not a
+            # sub-band (which would silently misalign tiles)
+            n_plan_tiles = plan.flags[stages[0]].shape[0]
+            assert n == n_plan_tiles * plan.tile * plan.tile, (
+                f"render_rays with a BrickPlan needs all {n_plan_tiles} "
+                f"tiles' rays ({n_plan_tiles * plan.tile * plan.tile}) in "
+                f"tile-major order, got {n}")
             static = (plan.dims, stages)
             # per-chunk certification: a chunk bricks a stage only if every
             # tile it contains is certified for that stage's dims; padded
@@ -197,12 +205,23 @@ class SceneRenderer:
         from ..ops.brick_plan import plan_volume_bricks
 
         stage_shapes = {k: tuple(v.shape[1:4]) for k, v in enc.volumes.items()}
+        # the coarse SN this renderer will sample (render_chunk's rule):
+        # the planner widens its slab surfaces to the sampler's real
+        # +-0.5/(SN-1) jitter support so certification covers production
+        n_coarse = (cfg.test_sample_coarse if cfg.extract_geometry
+                    else cfg.coarse_sample)
+        if n_coarse % cfg.brick_n_seg:
+            return None
         return plan_volume_bricks(
             np.asarray(scene.source_poses), float(scene.near),
             float(scene.far), np.asarray(scene.ray_o),
             np.asarray(ray_d).reshape(h, w, 3),
             np.asarray(near).reshape(h, w), np.asarray(far).reshape(h, w),
-            tile, stage_shapes, n_seg=cfg.brick_n_seg,
+            tile, stage_shapes, n_seg=cfg.brick_n_seg, point_num=n_coarse,
+            # the mxu kernel reads the raw corner-(0,0,0) block, so base+1
+            # must lie inside the brick — one extra voxel of high-side
+            # margin beyond the gather kernel's needs (brick_gather.py)
+            margin=3 if cfg.brick_kernel == "mxu" else 2,
         )
 
     # ------------------------------------------------------------------
