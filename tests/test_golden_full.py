@@ -623,3 +623,233 @@ def _run_capstone(rng, *, n_views=3, volume_type="correlation",
     np.testing.assert_allclose(np.asarray(got["srdf"]),
                                srdf_r[0].numpy().reshape(rn, -1),
                                rtol=tol_srdf[0], atol=tol_srdf[1])
+
+
+@pytest.mark.slow
+def test_training_step_losses_and_grads_match_reference(ref_env, rng):
+    """Training-step golden: loss values + gradient tree vs the reference
+    ``training_step`` math (code1/model.py:492-575) with transplanted
+    weights and deterministic sampling.
+
+    The matcher (TransMVSNet) is frozen on both sides exactly as the
+    reference's configure_optimizers (model.py:82-83 requires_grad=False /
+    our uforecon.py stop_gradient), so gradients exist for everything the
+    reference actually trains: ray transformer, the MVS volume head
+    (CostRegNetWeight), and the NeuS variance scalar. Both sides run
+    eval-mode BN (all BN lives in the frozen matcher + the volume head;
+    the train-mode BN-batch delta is quantified separately in BASELINE.md).
+    Losses replicate model.py:552-566: mse rgb coarse+fine plus depth l1
+    masked to valid gt inside [near, far].
+    """
+    import argparse
+    import importlib
+    from unittest import mock
+
+    import torch
+    import torch.nn.functional as F
+
+    from helpers import make_synthetic_sample
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.data.convert import scene_inputs_from_sample
+    from uforecon_tpu.data.torch_ckpt import (_convert_tensor, convert_named,
+                                              uforecon_name_map)
+    from uforecon_tpu.models.uforecon import UFORecon
+    from uforecon_tpu.pipeline.trainer import render_losses
+
+    model_mod = importlib.import_module("code1.model")
+
+    NC, NF = 8, 6
+    n_views = 3
+    rn = 16
+    args = argparse.Namespace(
+        ndepths="8,8,8", depth_inter_r="4,2,1", cr_base_chs="8,8,8",
+        share_cr=False, grad_method="detach", patch_size=1, sW=1, sH=1,
+        train_ray_num=rn, extract_geometry=False, test_sample_coarse=NC,
+        test_sample_fine=NF, coarse_sample=NC, fine_sample=NF,
+        volume_type="correlation", volume_reso=96, mvs_depth_guide=1,
+        depth_pos_encoding=True, explicit_similarity=True,
+        use_dir_srdf=False, test_coarse_only=False, uforecon_lr=1e-4,
+        test_n_view=n_views, weight_rgb=1.0, weight_depth=1.0)
+    ref = model_mod.UFORecon(args).eval()
+    _randomize(ref, rng, scale=0.15)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "conv_offset_mask" in name:
+                p.mul_(0.1)
+        ref.deviation_network.variance.fill_(0.3)
+    # freeze the matcher exactly like configure_optimizers (model.py:82-83)
+    for name, p in ref.named_parameters():
+        p.requires_grad_("transmvsnet" not in name)
+
+    cfg = Config(ndepths=(8, 8, 8), coarse_sample=NC, fine_sample=NF,
+                 test_sample_coarse=NC, test_sample_fine=NF,
+                 extract_geometry=False, volume_type="correlation",
+                 volume_reso=96, mvs_depth_guide=1, depth_pos_encoding=True,
+                 test_n_view=n_views, volume_dtype="float32",
+                 fused_point_head="never")
+    sample = make_synthetic_sample(n_views=n_views, h=32, w=32, ndepth=16,
+                                   start_idx=0)
+    scene, extras = scene_inputs_from_sample(sample)
+    ours = UFORecon(cfg)
+    ray_d = jnp.asarray(extras["ray_d"][:rn])
+    key = jax.random.PRNGKey(0)
+    variables = ours.init(key, scene, ray_d, key)
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    p, bs, report = convert_named(sd, uforecon_name_map(),
+                                  variables["params"],
+                                  variables["batch_stats"])
+    assert not report["unmatched_torch"], report["unmatched_torch"]
+
+    # ground truth shared by both sides: reference-view rgb + gt depth at
+    # the first rn rays (training_step gathers these inside infer,
+    # model.py:399-405)
+    rgb_gt_np = sample["ref_img"].reshape(-1, 3)[:rn]
+    depth_gt_np = sample["depths_h"][0].reshape(-1)[:rn]
+
+    # ---- deterministic sampling hooks (same scheme as the capstone) ----
+    def fixed_torch_rand(*shape, **kw):
+        if len(shape) == 1 and not isinstance(shape[0], int):
+            shape = tuple(shape[0])
+        if shape and shape[0] == NC:       # coarse jitter (SN, RN) -> none
+            return torch.full(shape, 0.5)
+        if shape and shape[0] == NF:       # importance draws (PN, RN)
+            u = (torch.arange(NF, dtype=torch.float32) + 0.5) / NF
+            return u[:, None].expand(*shape).clone()
+        return torch.rand_orig(*shape, **kw)
+
+    def fixed_jax_uniform(key_, shape, dtype=jnp.float32, **kw):
+        if shape[-1] == NC:
+            return jnp.full(shape, 0.5, dtype)
+        if shape[-1] == NF:
+            u = (jnp.arange(NF, dtype=dtype) + 0.5) / NF
+            return jnp.broadcast_to(u, shape)
+        raise AssertionError(f"unexpected uniform shape {shape}")
+
+    # ---- ours: loss + grad through encode + render_chunk ----
+    rgb_gt_j = jnp.asarray(rgb_gt_np)
+    depth_gt_j = jnp.asarray(depth_gt_np)
+
+    def loss_fn(params):
+        vs = {"params": params, "batch_stats": bs}
+        enc = ours.apply(vs, scene, method=ours.encode)
+        out = ours.apply(vs, scene, enc, ray_d, key,
+                         method=ours.render_chunk)
+        return render_losses(cfg, out, rgb_gt_j, depth_gt_j,
+                             scene.near, scene.far)
+
+    with mock.patch.object(jax.random, "uniform", fixed_jax_uniform):
+        (loss_j, logs_j), grads_j = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+
+    # ---- reference: training_step body with fixed ray_idx ----
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    batch = {
+        "source_imgs": _nchw(sample["source_imgs"])[None],
+        "ref_img": _nchw(sample["ref_img"][None]),
+        "ray_o": t(sample["ray_o"])[None],
+        "ray_d": t(sample["ray_d"].T)[None],
+        "cam_ray_d": t(sample["cam_ray_d"].T)[None],
+        "near_fars": t(sample["near_fars"])[None],
+        "proj_matrices": {k: t(v)[None] for k, v in
+                          sample["proj_matrices"].items()},
+        "depth_values_org_scale": t(sample["depth_values_org_scale"])[None],
+        "w2cs": t(sample["w2cs"])[None],
+        "intrinsics": t(sample["intrinsics"])[None],
+        "source_poses": t(sample["source_poses"])[None],
+        "source_poses_inv": t(sample["source_poses_inv"])[None],
+        "ref_pose_inv": t(sample["ref_pose_inv"])[None],
+        "scale_factor": t(np.array([sample["scale_factor"]])),
+        "scale_mat": t(sample["scale_mat"])[None],
+        "depths_h": t(sample["depths_h"])[None],
+        "start_idx": 0,
+    }
+    torch.rand_orig = torch.rand
+    with mock.patch.object(torch, "rand", fixed_torch_rand):
+        imgs_pair, projs_pair, dv_pair = ref.build_pairs(
+            batch["source_imgs"], batch["proj_matrices"],
+            batch["depth_values_org_scale"])
+        feat_backbone, vol_info = ref.transmvsnet(imgs_pair, projs_pair,
+                                                  dv_pair)
+        for i in range(len(feat_backbone)):
+            feat_backbone[i]["stage1"] = feat_backbone[i]["stage1"][0:1]
+        match = ref.transmvsnet.get_match_feat(feat_backbone,
+                                               cur_n_src_views=n_views)
+        src_feat = torch.stack([f["stage1"] for f in feat_backbone], dim=1)
+        fv = {}
+        for s in ("stage1", "stage2", "stage3"):
+            f_, w_ = ref.build_mvs_volume(batch, vol_info[s]["cost_volume"])
+            fv[s] = {"feature_volume": f_, "weight_volume": w_}
+        batch["depth_info"] = (vol_info["stage3"]["depth"]
+                               * batch["scale_factor"]).unsqueeze(0)
+        ray_idx = torch.arange(rn)[None]
+        (rgb_gt_r, rgb_r, depth_r, depth_gt_r, _srdf, _op, _w, _pp,
+         rgb2_r, depth2_r, *_rest) = ref.infer(
+            batch=batch, ray_idx=ray_idx, source_imgs_feat=src_feat,
+            feature_volume=fv, match_feature=match)
+
+        # losses exactly as model.py:552-566
+        loss_rgb = F.mse_loss(rgb_r, rgb_gt_r)
+        loss_rgb2 = F.mse_loss(rgb2_r, rgb_gt_r)
+        nf = batch["near_fars"]
+        mask = ((depth_gt_r != 0) & (depth_gt_r >= nf[:, 0, 0:1])
+                & (depth_gt_r <= nf[:, 0, 1:2]))
+        loss_d = F.l1_loss(depth_r[mask], depth_gt_r[mask])
+        loss_d2 = F.l1_loss(depth2_r[mask], depth_gt_r[mask])
+        loss_t = (args.weight_rgb * (loss_rgb + loss_rgb2)
+                  + args.weight_depth * (loss_d + loss_d2))
+        loss_t.backward()
+
+    # the gathered gt must agree, else the loss comparison is vacuous
+    np.testing.assert_allclose(rgb_gt_r[0].detach().numpy(), rgb_gt_np,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(depth_gt_r[0].detach().numpy(), depth_gt_np,
+                               rtol=1e-6, atol=1e-6)
+
+    # ---- loss parity ----
+    for ours_key, ref_val in [
+        ("train/rgb_coarse", loss_rgb), ("train/rgb_fine", loss_rgb2),
+        ("train/depth_ray_coarse", loss_d), ("train/depth_ray_fine", loss_d2),
+        ("train/loss_all", loss_t),
+    ]:
+        np.testing.assert_allclose(
+            float(logs_j[ours_key]), float(ref_val.detach()),
+            rtol=2e-3, atol=2e-5, err_msg=ours_key)
+
+    # ---- gradient parity over every trainable reference tensor ----
+    name_map = uforecon_name_map()
+
+    def get_leaf(tree, path):
+        node = tree
+        for q in path:
+            node = node[q]
+        return node
+
+    num = den = 0.0
+    matched = 0
+    worst = (0.0, "")
+    for name, pr in ref.named_parameters():
+        if not pr.requires_grad or pr.grad is None:
+            continue
+        tgt = name_map.get(name)
+        if tgt is None or tgt[0] != "params":
+            # dead modules (pre_conv, model.py:70) never get grads; anything
+            # else unmapped would have failed the transplant assert above
+            continue
+        leaf = np.asarray(get_leaf(grads_j, tgt[1]))
+        conv = _convert_tensor(name, pr.grad.detach().numpy(), leaf.shape)
+        assert conv is not None, name
+        d = float(np.linalg.norm(conv - leaf) ** 2)
+        n2 = float(np.linalg.norm(conv) ** 2)
+        num += d
+        den += n2
+        matched += 1
+        rel = np.sqrt(d / (n2 + 1e-30)) if n2 > 1e-20 else 0.0
+        if rel > worst[0]:
+            worst = (rel, name)
+    assert matched >= 20, f"only {matched} grad leaves compared"
+    tree_rel = np.sqrt(num / (den + 1e-30))
+    assert tree_rel < 2e-3, (
+        f"grad tree rel-L2 {tree_rel:.2e}, worst leaf {worst[1]} "
+        f"rel {worst[0]:.2e}")
