@@ -383,10 +383,15 @@ def test_renderer_brick_plan_end_to_end():
                                    atol=2e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_render_chunk_brick_matches_flat():
     """End-to-end plumbing: render_chunk with volume_brick + flags produces
     the same depth/rgb as the flat path on a tile-coherent chunk, for both
-    flag settings (True = brick branch, False = flat branch of lax.cond)."""
+    flag settings (True = brick branch, False = flat branch of lax.cond).
+
+    slow: three full render_chunk compiles (~2 min on the 1-core CPU host)
+    guarding machinery that is non-default since round 4 (volume_brick
+    defaults to 'never', BASELINE.md round-4 A/B)."""
     from uforecon_tpu.config import Config
     from uforecon_tpu.models.uforecon import UFORecon
 

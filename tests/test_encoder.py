@@ -84,10 +84,13 @@ def test_homo_warp_grid_stays_f32_under_bf16(rng):
     np.testing.assert_allclose(np.asarray(gbf), np.asarray(g32), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_dtype_mixed_policy(rng):
     """encoder_dtype=bfloat16 + compute_dtype=float32: same param tree as
     full-f32, render output finite and close (frozen matcher runs bf16,
-    render head stays f32)."""
+    render head stays f32).
+
+    slow: two full encoder+render compiles (~2 min on the 1-core CPU host)."""
     from helpers import make_synthetic_scene
 
     from uforecon_tpu.config import Config

@@ -92,8 +92,11 @@ def test_fused_grads_match_flax():
     assert checked > 10
 
 
+@pytest.mark.slow
 def test_chunked_backward_matches_direct(monkeypatch, rng):
-    """The scanned segment backward must equal one whole-chunk vjp."""
+    """The scanned segment backward must equal one whole-chunk vjp.
+
+    slow: interpret-mode Pallas vjp x2 (~30 s on the 1-core CPU host)."""
     from uforecon_tpu.ops import fused_point_head as fph
 
     nv, c_img, n = 3, 8, 50
