@@ -40,11 +40,16 @@ def main():
     # fusion; the point/ray heads keep their own 'auto') for on-chip A/B.
     # Unset = the Config defaults ('never' — the measured-fastest setting).
     fused_glue = os.environ.get("BENCH_FUSED")
+    # BENCH_BRICK=auto measures the tile-local brick-gather path (non-
+    # default since the round-4 A/B: +0.4% for +78% volume HBM); unset /
+    # 'never' measures the shipped flat default.
+    brick = os.environ.get("BENCH_BRICK", "never")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
+        volume_brick=brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )
@@ -70,7 +75,7 @@ def main():
     # (tile-major ray order + host covering-dims plan); BENCH_BRICK=never
     # measures the flat-gather path for A/B
     plan = None
-    if os.environ.get("BENCH_BRICK", "auto") == "auto":
+    if brick == "auto":
         plan = renderer._plan_bricks(scene, enc, ray_d, near, far, (h, w))
     if plan is not None:
         from uforecon_tpu.ops.brick_plan import tile_order

@@ -45,11 +45,13 @@ def main():
     # same BENCH_FUSED A/B knob as bench.py (glue kernels on/off); unset =
     # the Config defaults ('never' — the measured-fastest setting)
     fused_glue = os.environ.get("BENCH_FUSED")
+    brick = os.environ.get("BENCH_BRICK", "never")  # same knob as bench.py
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
+        volume_brick=brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )
@@ -86,7 +88,7 @@ def main():
 
     # tile-local brick gathers, as in bench.py / render_depth_view
     plan = None
-    if os.environ.get("BENCH_BRICK", "auto") == "auto":
+    if brick == "auto":
         plan = renderer._plan_bricks(scene, enc, ray_d, near, far, (h, w))
     if plan is not None:
         from uforecon_tpu.ops.brick_plan import tile_order

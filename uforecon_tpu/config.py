@@ -129,11 +129,14 @@ class Config:
     # Tile-local correlation-volume gathers for full-image rendering
     # (ops/brick_gather.py + ops/brick_plan.py): rays render in brick_tile^2
     # image tiles and each (tile x along-ray segment) samples a bulk-copied
-    # frustum sub-brick instead of scattered HBM rows — measured 2.2-2.5x on
-    # the dominant gather bucket, bit-identical values. 'auto' = on TPU with
+    # frustum sub-brick instead of scattered HBM rows — 2.2-2.5x on the
+    # gather MICRObenchmark, bit-identical values. End-to-end (round-4
+    # on-chip A/B, BASELINE.md): 26,804.6 rays/s brick vs 26,694.6 flat —
+    # +0.4%, within session noise, while brick mode lane-pads the packed
+    # volumes 72->128 (+78% HBM). Default 'never'; 'auto' = on TPU with
     # per-tile host certification (uncertified tiles take the flat path via
-    # lax.cond), 'never' = always flat gathers.
-    volume_brick: str = "auto"           # auto | never
+    # lax.cond), for memory-rich runs or future kernels.
+    volume_brick: str = "never"          # auto | never
     # tile 16 / 4 slabs measured best in the on-chip query sweep
     # (script/bench_brick_query.py: 1.34/1.14/1.13x per stage vs 1.27/0.95/
     # 1.0x at 32/8) — smaller bricks beat fewer dynamic_slice dispatches
