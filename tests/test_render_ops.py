@@ -152,6 +152,33 @@ def test_exact_onehot_einsum_bitwise(rng):
                                   np.asarray(vjp_ref(g)[0]))
 
 
+def test_exact_transpose_bitwise(rng):
+    """exact_transpose (MXU identity contraction, the UFO_TRANSPOSE=mxu
+    formatting route) must equal jnp.swapaxes bit-for-bit — forward and
+    cotangent — across magnitudes, with and without leading batch dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from uforecon_tpu.ops.exact_onehot import exact_transpose
+
+    for shape in [(37, 5), (3, 41, 8)]:
+        vals = np.concatenate([
+            (425.0 + 480.0 * rng.random(shape[:-1] + (1,))),
+            rng.standard_normal(shape[:-1] + (1,)) * 1e-4,
+            -rng.standard_normal(shape[:-1] + (shape[-1] - 3,)),
+            np.zeros(shape[:-1] + (1,)),
+        ], axis=-1).astype(np.float32)
+        out = exact_transpose(jnp.asarray(vals))
+        ref = jnp.swapaxes(jnp.asarray(vals), -1, -2)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+        g = jnp.asarray(np.swapaxes(
+            rng.standard_normal(vals.shape) * 100, -1, -2).astype(np.float32))
+        _, vjp = jax.vjp(exact_transpose, jnp.asarray(vals))
+        np.testing.assert_array_equal(
+            np.asarray(vjp(g)[0]), np.swapaxes(np.asarray(g), -1, -2))
+
+
 def test_sample_importance_one_hot_fetch_is_exact(rng):
     """The dense one-hot bracketing fetch must be BIT-identical to scattered
     take_along_axis gathers (0/1 products and single-nonzero sums are exact

@@ -426,6 +426,11 @@ class RayTransformer(nn.Module):
 
         n = rn * sn
         use_v2 = os.environ.get("UFO_POINT_HEAD", "v1") == "v2"
+        # kernel-input/-output formatting route: 'xla' = plain transposes,
+        # 'mxu' = exact identity contractions (ops/exact_onehot.py
+        # exact_transpose, bit-identical) — A/B knob for the measured
+        # 1.78 s/image data-formatting bucket (BASELINE.md round 4)
+        use_mxu_t = os.environ.get("UFO_TRANSPOSE", "xla") == "mxu"
 
         if use_v2:
             from ..ops.fused_point_head2 import PointHeadInputs2, point_head2
@@ -446,13 +451,19 @@ class RayTransformer(nn.Module):
         else:
             from ..ops.fused_point_head import PointHeadInputs, point_head
 
+            if use_mxu_t:
+                from ..ops.exact_onehot import exact_transpose as _swap
+            else:
+                def _swap(a):
+                    return jnp.swapaxes(a, -1, -2)
+
             def tr(a):  # (NV, RN, SN, C) -> (NV, C, P)
-                return a.reshape(nv, n, a.shape[-1]).transpose(0, 2, 1)
+                return _swap(a.reshape(nv, n, a.shape[-1]))
 
             inp = PointHeadInputs(
                 img_feat=tr(img_feat),
-                vol_feat=fea_volume_feat.reshape(n, -1).T,
-                sim_feat=sim_feat.reshape(n, -1).T,
+                vol_feat=_swap(fea_volume_feat.reshape(n, -1)),
+                sim_feat=_swap(sim_feat.reshape(n, -1)),
                 depth_dist=depth_dist.reshape(nv, n),
                 dir_rel=tr(dir_relative),
                 rgb=tr(img_rgb),
@@ -480,7 +491,11 @@ class RayTransformer(nn.Module):
         )
         token, rad = head(inp, params, self.n_heads)
         if not use_v2:
-            token, rad = token.T, rad.T
+            if use_mxu_t:
+                from ..ops.exact_onehot import exact_transpose
+                token, rad = exact_transpose(token), exact_transpose(rad)
+            else:
+                token, rad = token.T, rad.T
         return {
             "token": token.reshape(rn, sn, -1),
             "radiance": rad.reshape(rn, sn, 3),

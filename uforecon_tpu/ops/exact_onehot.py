@@ -94,3 +94,51 @@ def exact_onehot_einsum(spec: str, onehot: jnp.ndarray,
     batched (B, I, J) x (B, J, C) -> (B, I, C) contraction shape."""
     assert spec in ("rij,rjc->ric", "rps,rsc->rpc"), spec
     return exact_onehot_matmul(onehot, values)
+
+
+def _identity_bmm(values):
+    """(..., P, C) -> (..., C, P) as identity contractions: out[..., c, p] =
+    sum_j I[c, j] values[..., p, j]. Both operands contract their MINOR dim
+    (the attention Q @ K^T layout), which the MXU consumes natively — no
+    materialized relayout of ``values``. Exact by the one-hot argument: the
+    identity is exactly bf16, each output lane selects one value component.
+    """
+    d = jax.lax.Precision.DEFAULT
+    eye = jnp.eye(values.shape[-1], dtype=values.dtype)
+    out = None
+    for comp in _split3(values):
+        term = jnp.einsum("cj,...pj->...cp", eye, comp, precision=d)
+        out = term if out is None else out + term
+    return out
+
+
+@jax.custom_vjp
+def exact_transpose(values: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two minor dims of ``values`` on the MXU, f32-bit-exactly.
+
+    (..., P, C) -> (..., C, P). A drop-in for ``jnp.swapaxes(values, -1,
+    -2)`` aimed at the render path's kernel-input formatting: XLA lowers
+    those big-P small-C transposes to relayout copies measured far below
+    HBM bandwidth (the 1.78 s/image "data formatting" bucket, BASELINE.md
+    round-2 profile), while an identity contraction streams the same bytes
+    through the MXU in the Q @ K^T layout. Three single-pass bf16
+    component matmuls (see module docstring) keep the result bit-identical
+    to the real transpose; the backward is the mirror-image identity
+    contraction, so gradients stay bit-exact too.
+
+    Routed by UFO_TRANSPOSE ('mxu' | 'xla') in the fused point head
+    dispatch (models/ray_transformer.py) — measured on chip before any
+    default flip; see BASELINE.md round 4.
+    """
+    return _identity_bmm(values)
+
+
+def _et_fwd(values):
+    return _identity_bmm(values), None
+
+
+def _et_bwd(_, g):
+    return (_identity_bmm(g),)
+
+
+exact_transpose.defvjp(_et_fwd, _et_bwd)
