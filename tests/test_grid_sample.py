@@ -109,3 +109,25 @@ def test_packed_bilinear_matches_grid_sample_2d(rng):
                                         padding_mode=pm)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_packed_bilinear_corner_pad_bit_equal(rng):
+    """corner_pad (the stage-3 warp lane-padding, cascade._correlate_chunked)
+    + c_out must be BIT-equal to the unpadded packed sampler — padding is
+    zeros that c_out slices back off before any arithmetic differs."""
+    from uforecon_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                              pack_image_corners)
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.standard_normal((2, 7, 9, 8)).astype(np.float32))
+    grid = jnp.asarray((rng.random((2, 400, 2)).astype(np.float32) * 2.6 - 1.3))
+    plain = pack_image_corners(img)
+    padded = pack_image_corners(img, corner_pad=32)
+    assert padded.shape == (2, 7, 9, 128)
+    for ac in (True, False):
+        for pm in ("zeros", "border"):
+            want = grid_sample_2d_packed(plain, grid, align_corners=ac,
+                                         padding_mode=pm)
+            got = grid_sample_2d_packed(padded, grid, align_corners=ac,
+                                        padding_mode=pm, c_out=8)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

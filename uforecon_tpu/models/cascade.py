@@ -143,14 +143,30 @@ def _correlate_chunked(
     hypothesis axis with lax.map bounds that transient to ~0.5GB instead of
     OOMing at the full depth count. (The reference bounds the same memory by
     looping source views, TransMVSNet.py:93-96 — the depth axis chunks
-    finer.)"""
+    finer.)
+
+    Stage 3 (C=8, f32) lane-pads each packed corner block 8->32 so rows are
+    a full 128-lane tile: 32-lane f32 rows from the full-res source gather
+    at ~39 ns/row on v5e (the dominant train-step bucket, 2.05 s/step)
+    while 128-lane rows from the 4x-larger source go 2.35x faster
+    (script/bench_warp_gather.py; same pattern as pack_volume_corners'
+    corner_pad). Bit-exact: padding is zeros, ``c_out`` slices it back off.
+    UFO_WARP_PAD=0 disables for A/B."""
+    import os
+
     from ..ops.grid_sample import grid_sample_2d_packed, pack_image_corners
 
     v, h, w, c = src_feats.shape
     d = depth_values.shape[0]
     # pack 2x2 bilinear corners once (chunk-invariant): each warp sample is
     # then ONE 4C-row gather in the TPU-fast gather form
-    packed = pack_image_corners(src_feats)
+    pad = (32 if (c == 8 and src_feats.dtype == jnp.float32
+                  and os.environ.get("UFO_WARP_PAD", "1") == "1")
+           else None)
+    if (pad is None and c == 16 and src_feats.dtype == jnp.float32
+            and os.environ.get("UFO_WARP_PAD2", "0") == "1"):
+        pad = 32  # stage-2 probe: 64-lane rows -> 128 (measured-off default)
+    packed = pack_image_corners(src_feats, corner_pad=pad)
 
     def correlate(dv):
         dc = dv.shape[0]
@@ -159,7 +175,7 @@ def _correlate_chunked(
         )(src_projs)
         warped = grid_sample_2d_packed(
             packed, grids.reshape(v, dc * h * w, 2),
-            align_corners=True, padding_mode="zeros",
+            align_corners=True, padding_mode="zeros", c_out=c if pad else None,
         ).reshape(v, dc, h, w, c)
         return jnp.mean(warped * ref_feat[None, None], axis=-1, keepdims=True)
 

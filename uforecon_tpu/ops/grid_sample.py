@@ -97,15 +97,25 @@ def grid_sample_2d(
     return out.reshape((N,) + lead + (C,))
 
 
-def pack_image_corners(img: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, C) -> (N, H, W, 4*C): entry (y, x) holds the 2x2 corner
+def pack_image_corners(img: jnp.ndarray,
+                       corner_pad: int | None = None) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W, 4*C'): entry (y, x) holds the 2x2 corner
     neighborhood starting at (y, x), zero-padded at the +1 edges. One gather
-    row per bilinear sample instead of four (see pack_volume_corners)."""
+    row per bilinear sample instead of four (see pack_volume_corners).
+
+    ``corner_pad`` zero-pads each corner block to C' = corner_pad channels.
+    Measured motivation (script/bench_warp_gather.py, v5e): 32-lane f32
+    rows from a stage-3-sized warp source gather at 68 ns/row while the
+    SAME rows lane-padded to 128 go at 29 ns/row — the padding more than
+    pays for its 4x bytes. Samplers must then slice via ``c_out``."""
     parts = []
+    c = img.shape[-1]
+    pad_c = 0 if corner_pad is None else corner_pad - c
+    assert pad_c >= 0, (corner_pad, c)
     for dy in (0, 1):
         for dx in (0, 1):
             shifted = img[:, dy:, dx:, :]
-            pad = ((0, 0), (0, dy), (0, dx), (0, 0))
+            pad = ((0, 0), (0, dy), (0, dx), (0, pad_c))
             parts.append(jnp.pad(shifted, pad))
     return jnp.concatenate(parts, axis=-1)
 
@@ -115,10 +125,12 @@ def grid_sample_2d_packed(
     grid: jnp.ndarray,
     align_corners: bool = False,
     padding_mode: str = "zeros",
+    c_out: int | None = None,
 ) -> jnp.ndarray:
     """Bilinear sampling from a corner-packed image (see pack_image_corners).
     Bit-equivalent to grid_sample_2d on the unpacked image; one gather per
-    point instead of four.
+    point instead of four. ``c_out`` slices back to the true channel count
+    when the pack used ``corner_pad``.
 
     NaN caveat: indices are clamped for every FINITE coordinate, so
     promise_in_bounds is safe — but non-finite grid values (NaN projections
@@ -152,11 +164,12 @@ def grid_sample_2d_packed(
 
     wx0, wx1 = w01(fx)
     wy0, wy1 = w01(fy)
+    cv = C if c_out is None else c_out
     out = 0.0
     for c, (dy, dx) in enumerate([(a, b) for a in (0, 1) for b in (0, 1)]):
         wgt = (wy1 if dy else wy0) * (wx1 if dx else wx0)
-        out = out + rows[..., c * C:(c + 1) * C] * wgt[..., None]
-    return out.reshape((N,) + lead + (C,))
+        out = out + rows[..., c * C:c * C + cv] * wgt[..., None]
+    return out.reshape((N,) + lead + (cv,))
 
 
 def pack_volume_corners(vol: jnp.ndarray,
