@@ -111,6 +111,36 @@ def test_packed_bilinear_matches_grid_sample_2d(rng):
                                        rtol=1e-5, atol=1e-5)
 
 
+def test_dot_packed_matches_sample_then_dot(rng):
+    """grid_sample_2d_dot_packed (warp correlate with the ref-dot folded
+    into the full-lane rows, cascade._correlate_chunked) == sample-then-dot
+    up to f32 reassociation, for plain and lane-padded packs and depth-tiled
+    point orders (P = dtile * R)."""
+    from uforecon_tpu.ops.grid_sample import (grid_sample_2d_dot_packed,
+                                              grid_sample_2d_packed,
+                                              pack_image_corners)
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.standard_normal((3, 6, 10, 8)).astype(np.float32))
+    r = 50
+    ref = jnp.asarray(rng.standard_normal((r, 8)).astype(np.float32))
+    grid = jnp.asarray((rng.random((3, 4 * r, 2)).astype(np.float32) * 2.6
+                        - 1.3))
+    for pad in (None, 32):
+        packed = pack_image_corners(img, corner_pad=pad)
+        for ac in (True, False):
+            for pm in ("zeros", "border"):
+                sampled = grid_sample_2d_packed(
+                    packed, grid, align_corners=ac, padding_mode=pm,
+                    c_out=8 if pad else None)
+                want = jnp.einsum("npc,pc->np", sampled,
+                                  jnp.tile(ref, (4, 1)))
+                got = grid_sample_2d_dot_packed(
+                    packed, grid, ref, align_corners=ac, padding_mode=pm)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                           rtol=2e-5, atol=2e-5)
+
+
 def test_packed_bilinear_corner_pad_bit_equal(rng):
     """corner_pad (the stage-3 warp lane-padding, cascade._correlate_chunked)
     + c_out must be BIT-equal to the unpadded packed sampler — padding is

@@ -154,7 +154,8 @@ def _correlate_chunked(
     UFO_WARP_PAD=0 disables for A/B."""
     import os
 
-    from ..ops.grid_sample import grid_sample_2d_packed, pack_image_corners
+    from ..ops.grid_sample import (grid_sample_2d_dot_packed,
+                                   grid_sample_2d_packed, pack_image_corners)
 
     v, h, w, c = src_feats.shape
     d = depth_values.shape[0]
@@ -167,12 +168,25 @@ def _correlate_chunked(
             and os.environ.get("UFO_WARP_PAD2", "0") == "1"):
         pad = 32  # stage-2 probe: 64-lane rows -> 128 (measured-off default)
     packed = pack_image_corners(src_feats, corner_pad=pad)
+    # UFO_WARP_DOT=1 folds the ref-feature dot + bilinear weights into one
+    # full-lane product over the raw gather rows (grid_sample_2d_dot_packed).
+    # Measured-off default: 6.456 vs 6.013 s/step f32 on v5e (BASELINE.md
+    # round 4) — the broadcast-concat refw costs more than the c_out slices
+    # it removes.
+    use_dot = os.environ.get("UFO_WARP_DOT", "0") == "1"
 
     def correlate(dv):
         dc = dv.shape[0]
         grids = jax.vmap(
             lambda p: homo_warp_grid(p, ref_proj, dv, src_feats.dtype)
         )(src_projs)
+        if use_dot:
+            corr = grid_sample_2d_dot_packed(
+                packed, grids.reshape(v, dc * h * w, 2),
+                ref_feat.reshape(h * w, c),
+                align_corners=True, padding_mode="zeros",
+            )
+            return corr.reshape(v, dc, h, w, 1) / c
         warped = grid_sample_2d_packed(
             packed, grids.reshape(v, dc * h * w, 2),
             align_corners=True, padding_mode="zeros", c_out=c if pad else None,

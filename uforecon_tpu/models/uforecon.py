@@ -160,8 +160,16 @@ class UFORecon(nn.Module):
                     packed = pack_volume_corners(fw, corner_pad=corner_pad)
                     return carry, packed.astype(vol_dtype)[0]
 
+                # UFO_VOLUME_REMAT=0 drops the remat (no backward recompute
+                # of the U-Net fwd convs). Measured on v5e at train shapes:
+                # the un-rematted step does not compile — 16.80G HBM needed
+                # vs 15.75G available (BASELINE.md round 4). Knob kept for
+                # larger-HBM parts.
+                import os
+                body = (head if os.environ.get("UFO_VOLUME_REMAT", "1") == "0"
+                        else nn.remat(head, prevent_cse=False))
                 scan = nn.scan(
-                    nn.remat(head, prevent_cse=False),
+                    body,
                     variable_broadcast="params",
                     split_rngs={"params": False},
                     in_axes=0, out_axes=0,

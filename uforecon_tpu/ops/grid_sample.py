@@ -172,6 +172,66 @@ def grid_sample_2d_packed(
     return out.reshape((N,) + lead + (cv,))
 
 
+def grid_sample_2d_dot_packed(
+    packed: jnp.ndarray,
+    grid: jnp.ndarray,
+    ref: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """``dot(grid_sample_2d_packed(packed, grid)[n, p, :C], ref[p % R, :C])``
+    without ever leaving the packed lane layout: the four bilinear corner
+    weights and the reference feature fold into ONE full-lane multiply
+    against the raw gather rows, then a single lane reduce. Returns (N, P).
+
+    Motivation (train-step profile, BASELINE.md round 4): with lane-padded
+    packs the per-corner ``c_out`` slices force padded relayout copies and
+    a 4-term add tree; here no sub-row slice exists at all. Numerics differ
+    from sample-then-dot only by sum reassociation (f32 ~1e-6 rel).
+
+    ref: (R, C_true) with P % R == 0, points ordered depth-major (P//R, R)
+    — the homography-warp layout of cascade._correlate_chunked. C_true may
+    be smaller than the pack's per-corner block (lane padding); the missing
+    ref lanes are treated as zero, matching the zero padding in the rows.
+    """
+    assert padding_mode in ("zeros", "border"), padding_mode
+    N, H, W, C4 = packed.shape
+    C = C4 // 4
+    g = grid.reshape(N, -1, 2)
+    P = g.shape[1]
+    R, Ct = ref.shape
+    assert P % R == 0 and Ct <= C, (P, R, Ct, C)
+
+    x = _unnormalize(g[..., 0], W, align_corners)
+    y = _unnormalize(g[..., 1], H, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+    fx = (x - x0.astype(x.dtype))[..., None]
+    fy = (y - y0.astype(y.dtype))[..., None]
+
+    idx = y0 * W + x0
+    flat = packed.reshape(N, H * W, C4)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                               mode="promise_in_bounds")  # (N, P, 4C)
+
+    wx1 = jnp.clip(fx, 0.0, 1.0)
+    wx0 = jnp.clip(1.0 - jnp.abs(fx), 0.0, 1.0)
+    wy1 = jnp.clip(fy, 0.0, 1.0)
+    wy0 = jnp.clip(1.0 - jnp.abs(fy), 0.0, 1.0)
+    if Ct < C:
+        ref = jnp.pad(ref, ((0, 0), (0, C - Ct)))
+    reft = jnp.broadcast_to(ref[None, None], (N, P // R, R, C)) \
+        .reshape(N, P, C)
+    refw = jnp.concatenate([
+        wy0 * wx0 * reft, wy0 * wx1 * reft,
+        wy1 * wx0 * reft, wy1 * wx1 * reft,
+    ], axis=-1)  # (N, P, 4C) — broadcasts, fused into the consumer
+    return jnp.sum(rows * refw, axis=-1)
+
+
 def pack_volume_corners(vol: jnp.ndarray,
                         corner_pad: int | None = None) -> jnp.ndarray:
     """(N, D, H, W, C) -> (N, D, H, W, 8*C'): entry (z, y, x) holds the
