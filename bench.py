@@ -42,14 +42,16 @@ def main():
     fused_glue = os.environ.get("BENCH_FUSED")
     # BENCH_BRICK=auto measures the tile-local brick-gather path (non-
     # default since the round-4 A/B: +0.4% for +78% volume HBM); unset /
-    # 'never' measures the shipped flat default.
+    # 'never' measures the shipped flat default. BENCH_BRICK=pad isolates
+    # the 72->128 volume lane padding with FLAT gathers (no plan): the
+    # round-3 A/B only ever measured pad+bricks together.
     brick = os.environ.get("BENCH_BRICK", "never")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
-        volume_brick=brick,
+        volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )
