@@ -23,6 +23,8 @@ print(KERNEL_PRECISION_MODE)
                                 # BASELINE.md round-3 A/B matrix
     ("highest", "highest"),     # exact-f32 fwd for tight golden runs
     ("high", "high"),
+    ("fast", "fast"),           # single-pass native bf16 — inference-only
+                                # (make_train_step refuses it)
 ])
 def test_env_selects_forward_precision(env_val, expected, monkeypatch):
     import os
@@ -38,7 +40,7 @@ def test_env_selects_forward_precision(env_val, expected, monkeypatch):
 
 def test_invalid_value_rejected():
     import os
-    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_PLATFORM="cpu", UFO_KERNEL_PRECISION="fast")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_PLATFORM="cpu", UFO_KERNEL_PRECISION="quick")
     out = subprocess.run(
         [sys.executable, "-c",
          "import uforecon_tpu.ops.kernel_precision"],

@@ -36,7 +36,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-_MODES = ("highest", "high")
+_MODES = ("highest", "high", "fast")
 
 _raw = os.environ.get("UFO_KERNEL_PRECISION", "high").lower()
 if _raw not in _MODES:
@@ -44,11 +44,19 @@ if _raw not in _MODES:
         f"UFO_KERNEL_PRECISION={_raw!r}: expected one of {sorted(_MODES)}")
 
 #: Which forward-dot strategy every fused kernel matmul uses.
+#: ``fast`` is single-pass native bf16 (f32 accumulation) — INFERENCE
+#: ONLY: its ~0.3% forward error vs the true-f32 reference-VJP backward
+#: was measured to destabilize render training (pipeline/trainer.py
+#: refuses to build a train step under it). For serving/extraction it
+#: trades that forward error for throughput; measured numbers in
+#: BASELINE.md round 4.
 KERNEL_PRECISION_MODE: str = _raw
 
 #: Kept for introspection/tests: the XLA precision the mode corresponds to.
 FORWARD_PRECISION: jax.lax.Precision = (
-    jax.lax.Precision.HIGHEST if _raw == "highest" else jax.lax.Precision.HIGH)
+    jax.lax.Precision.HIGHEST if _raw == "highest"
+    else jax.lax.Precision.HIGH if _raw == "high"
+    else jax.lax.Precision.DEFAULT)
 
 
 def kernel_dot(x, y, dimension_numbers):
@@ -70,6 +78,10 @@ def kernel_dot(x, y, dimension_numbers):
             preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST)
     bf16 = jnp.bfloat16
+    if KERNEL_PRECISION_MODE == "fast":
+        return jax.lax.dot_general(
+            x.astype(bf16), y.astype(bf16), dimension_numbers,
+            preferred_element_type=f32)
     x = x.astype(f32)
     y = y.astype(f32)
     xh = x.astype(bf16)

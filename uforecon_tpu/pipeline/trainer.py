@@ -105,6 +105,13 @@ def make_train_step(cfg: Config, model: UFORecon, tx: optax.GradientTransformati
     Inputs: scene (SceneInputs), ray_d (RN,3), rgb_gt (RN,3), depth_gt (RN,),
     rng. The ray axis may carry a 'rays' NamedSharding for multi-chip.
     """
+    from ..ops.kernel_precision import KERNEL_PRECISION_MODE
+    if KERNEL_PRECISION_MODE == "fast":
+        raise ValueError(
+            "UFO_KERNEL_PRECISION=fast is inference-only: its ~0.3% fused-"
+            "kernel forward error vs the true-f32 reference-VJP backward "
+            "was measured to destabilize render training (BASELINE.md "
+            "round-2 precision section). Use 'high' or 'highest'.")
 
     def loss_fn(params, batch_stats, scene, ray_d, rgb_gt, depth_gt, rng):
         variables = _variables(params, batch_stats)
