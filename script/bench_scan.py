@@ -45,13 +45,16 @@ def main():
     # same BENCH_FUSED A/B knob as bench.py (glue kernels on/off); unset =
     # the Config defaults ('never' — the measured-fastest setting)
     fused_glue = os.environ.get("BENCH_FUSED")
-    brick = os.environ.get("BENCH_BRICK", "never")  # same knob as bench.py
+    # same knob as bench.py: 'pad' = corner padding with flat gathers (no
+    # plan), normalized to volume_brick='auto' exactly as bench.py does —
+    # Config validates the field, so the raw 'pad' string must not reach it
+    brick = os.environ.get("BENCH_BRICK", "never")
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
         test_sample_fine=64,
         volume_type="correlation",
-        volume_brick=brick,
+        volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
     )

@@ -179,6 +179,43 @@ def test_exact_transpose_bitwise(rng):
             np.asarray(vjp(g)[0]), np.swapaxes(np.asarray(g), -1, -2))
 
 
+def test_exact_transpose_wide_and_dtype(rng):
+    """Round-4 advisor findings: (a) an output-side (C, P) input with huge P
+    must contract over the SMALL major dim (an eye(P) identity would be a
+    quadratic operand — here eye(4096) would already dominate the values);
+    (b) bf16 inputs must come back bf16 (dtype-transparent knob), still
+    bit-equal to the real transpose."""
+    import jax.numpy as jnp
+
+    from uforecon_tpu.ops.exact_onehot import exact_transpose
+
+    # (C, P) with P >> C — the output-side shape from the fused point head
+    wide = rng.standard_normal((7, 4096)).astype(np.float32) * 37.0
+    out = exact_transpose(jnp.asarray(wide))
+    np.testing.assert_array_equal(np.asarray(out), wide.T)
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        vals = jnp.asarray(rng.standard_normal((33, 6)), dtype=dtype)
+        out = exact_transpose(vals)
+        assert out.dtype == dtype
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(vals.T))
+
+
+def test_config_validates_enum_knobs():
+    """Enum-valued Config knobs reject typos at construction (the round-4
+    advisor's 'pad'-reaches-Config finding)."""
+    import pytest as _pytest
+
+    from uforecon_tpu.config import Config
+
+    Config(volume_brick="auto")  # valid values still construct
+    for field in ("volume_brick", "fused_similarity",
+                  "fused_volume_fusion", "brick_kernel"):
+        with _pytest.raises(ValueError):
+            Config(**{field: "pad-typo"})
+
+
 def test_sample_importance_one_hot_fetch_is_exact(rng):
     """The dense one-hot bracketing fetch must be BIT-identical to scattered
     take_along_axis gathers (0/1 products and single-nonzero sums are exact

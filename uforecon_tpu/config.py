@@ -151,6 +151,23 @@ class Config:
     donate_buffers: bool = True
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        # Enum-valued perf knobs route trace-time code paths deep in the
+        # model; a typo'd value would silently select whatever branch the
+        # call-site's inequality tests happen to fall into (the round-4
+        # advisor's 'pad' finding), so validate them at construction.
+        allowed = {
+            "volume_brick": ("auto", "never"),
+            "fused_similarity": ("auto", "always", "never"),
+            "fused_volume_fusion": ("auto", "always", "never"),
+            "brick_kernel": ("gather", "mxu"),
+        }
+        for field, values in allowed.items():
+            v = getattr(self, field)
+            if v not in values:
+                raise ValueError(
+                    f"Config.{field}={v!r} not in {values}")
+
     @property
     def num_stages(self) -> int:
         return len(self.ndepths)

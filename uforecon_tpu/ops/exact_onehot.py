@@ -97,17 +97,34 @@ def exact_onehot_einsum(spec: str, onehot: jnp.ndarray,
 
 
 def _identity_bmm(values):
-    """(..., P, C) -> (..., C, P) as identity contractions: out[..., c, p] =
-    sum_j I[c, j] values[..., p, j]. Both operands contract their MINOR dim
-    (the attention Q @ K^T layout), which the MXU consumes natively — no
-    materialized relayout of ``values``. Exact by the one-hot argument: the
-    identity is exactly bf16, each output lane selects one value component.
+    """(..., A, B) -> (..., B, A) as identity contractions, always against
+    an identity of the SMALLER of the two swapped dims (an eye over the
+    larger one — e.g. P = rn*sn ~ 65k on the output-side transposes — would
+    be a quadratic-size operand and an O(P^2*C) contraction). When the
+    minor dim is smaller the contraction is the attention Q @ K^T layout
+    (both operands contract their minor dim, MXU-native, no materialized
+    relayout); when the major dim is smaller we contract it instead —
+    still a pure 0/1 selection, so still exact. Non-f32 inputs skip the
+    f32 component split (two of the three split matmuls would be
+    identically zero for bf16 inputs, and the result must keep the input
+    dtype): a single native-dtype selection against exact 0/1 is already
+    exact at DEFAULT precision.
     """
     d = jax.lax.Precision.DEFAULT
-    eye = jnp.eye(values.shape[-1], dtype=values.dtype)
+    a, b = values.shape[-2], values.shape[-1]
+    if b <= a:
+        # out[..., c, p] = sum_j I[c, j] v[..., p, j]
+        eye = jnp.eye(b, dtype=values.dtype)
+        spec = "cj,...pj->...cp"
+    else:
+        # out[..., c, p] = sum_j I[j, p] v[..., j, c]
+        eye = jnp.eye(a, dtype=values.dtype)
+        spec = "jp,...jc->...cp"
+    if values.dtype != jnp.float32:
+        return jnp.einsum(spec, eye, values, precision=d)
     out = None
     for comp in _split3(values):
-        term = jnp.einsum("cj,...pj->...cp", eye, comp, precision=d)
+        term = jnp.einsum(spec, eye, comp, precision=d)
         out = term if out is None else out + term
     return out
 
