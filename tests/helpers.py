@@ -331,3 +331,88 @@ def install_reference_stubs():
         sys.modules["mcubes"] = mc
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def _np_remap_bilinear(src, map_x, map_y, interpolation=None, **_kw):
+    """Real cv2.remap(..., INTER_LINEAR) semantics in numpy: dst[y, x] =
+    bilinear(src, map_x[y, x], map_y[y, x]); default BORDER_CONSTANT 0 means
+    out-of-bounds corner neighbors contribute zero."""
+    import numpy as np
+
+    h, w = src.shape[:2]
+    x = np.asarray(map_x, np.float64)
+    y = np.asarray(map_y, np.float64)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    wx = x - x0
+    wy = y - y0
+
+    def at(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        return src[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)] * inb
+
+    out = (at(y0, x0) * (1 - wx) * (1 - wy)
+           + at(y0, x0 + 1) * wx * (1 - wy)
+           + at(y0 + 1, x0) * (1 - wx) * wy
+           + at(y0 + 1, x0 + 1) * wx * wy)
+    return out.astype(src.dtype)
+
+
+def load_reference_numpy_module(relpath, name):
+    """Import a numpy-level reference source file (tsdf_fusion.py,
+    code1/utils/depth_fusion.py) under a non-colliding module name with its
+    unavailable deps stubbed: numba.njit -> identity decorator (the decorated
+    loops are plain python/numpy), prange -> range, cv2.remap -> a REAL
+    numpy bilinear implementation, skimage.measure / plyfile / pycuda ->
+    inert placeholders (only touched by mesh/IO paths the golden tests
+    don't call). Same pattern as install_reference_stubs for code1."""
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def njit(*args, **kwargs):
+            if args and callable(args[0]):
+                return args[0]
+            return lambda fn: fn
+
+        numba.njit = njit
+        numba.prange = range
+        sys.modules["numba"] = numba
+    if "cv2" not in sys.modules:
+        cv2 = types.ModuleType("cv2")
+        cv2.INTER_LINEAR = 1
+        cv2.remap = _np_remap_bilinear
+        sys.modules["cv2"] = cv2
+    if "skimage" not in sys.modules:
+        skimage = types.ModuleType("skimage")
+        measure = types.ModuleType("skimage.measure")
+        measure.marching_cubes_lewiner = lambda *a, **k: (None,) * 4
+        skimage.measure = measure
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.measure"] = measure
+    if "plyfile" not in sys.modules:
+        ply = types.ModuleType("plyfile")
+        ply.PlyData = object
+        ply.PlyElement = object
+        sys.modules["plyfile"] = ply
+    for mod in ("pycuda", "pycuda.driver", "pycuda.autoinit",
+                "pycuda.compiler"):
+        if mod not in sys.modules:
+            m = types.ModuleType(mod)
+            if mod == "pycuda.compiler":
+                m.SourceModule = object
+            sys.modules[mod] = m
+            if "." in mod:
+                parent, child = mod.rsplit(".", 1)
+                setattr(sys.modules[parent], child, m)
+
+    path = os.path.join(REFERENCE_ROOT, relpath)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

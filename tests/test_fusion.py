@@ -145,3 +145,186 @@ def test_marching_cubes_vs_tets_same_surface():
     # 2% chamfer budget (typical chamfer ~0.5-1.5mm)
     assert max(d1.mean(), d2.mean()) < 0.05
     assert max(d1.max(), d2.max()) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# Reference-function goldens (VERDICT r4 #4): the TSDF integration and the
+# depth-fusion consistency check are the only L2 components that were tested
+# analytically but never against the reference's own importable functions.
+# ---------------------------------------------------------------------------
+
+
+def _pose_w2c(angle_y=0.0, tx=0.0, ty=0.0, tz=0.0):
+    c, s = np.cos(angle_y), np.sin(angle_y)
+    w2c = np.eye(4)
+    w2c[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    w2c[:3, 3] = [tx, ty, tz]
+    return w2c
+
+
+_INTR = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]])
+_H, _W = 24, 32
+
+
+def _ref_integrate_cpu(ref_mod, ref, color_im, depth_im, cam_intr, cam_pose,
+                       obs_weight=1.0):
+    """The reference CPU integrate driver (tsdf_fusion.py:267-310) calling
+    the reference's own vox2world/cam2pix/integrate_tsdf/rigid_transform,
+    reproduced here because the in-repo CPU color fetch indexes a FLATTENED
+    image with 2-D subscripts (tsdf_fusion.py:237 reshape(-1) then :303
+    color_im[pix_y, pix_x]) and raises IndexError — only the CUDA path runs
+    end-to-end upstream. The color fetch here is flat (pix_y*im_w + pix_x),
+    exactly what the CUDA kernel does (tsdf_fusion.py:139); every other
+    line keeps the CPU driver's semantics."""
+    im_h, im_w = depth_im.shape
+    cc = 256 * 256
+    color_flat = np.floor(color_im[..., 2] * cc + color_im[..., 1] * 256
+                          + color_im[..., 0]).reshape(-1).astype(np.float32)
+
+    cam_pts = ref.vox2world(ref._vol_origin, ref.vox_coords, ref._voxel_size)
+    cam_pts = ref_mod.rigid_transform(cam_pts, np.linalg.inv(cam_pose))
+    # rigid_transform silently promotes to f64 (np.dot with the f64 inverse
+    # pose); the CUDA kernel — the integration path that actually runs
+    # upstream — is pure f32 (tsdf_fusion.py:104-135), as is our XLA kernel.
+    # Pin f32 so pixel-rounding/truncation boundary voxels agree.
+    cam_pts = cam_pts.astype(np.float32)
+    pix_z = cam_pts[:, 2]
+    pix = ref.cam2pix(cam_pts, cam_intr)
+    pix_x, pix_y = pix[:, 0], pix[:, 1]
+    valid_pix = np.logical_and(
+        pix_x >= 0, np.logical_and(
+            pix_x < im_w, np.logical_and(
+                pix_y >= 0, np.logical_and(pix_y < im_h, pix_z > 0))))
+    depth_val = np.zeros(pix_x.shape)
+    depth_val[valid_pix] = depth_im[pix_y[valid_pix], pix_x[valid_pix]]
+
+    depth_diff = depth_val - pix_z
+    valid_pts = np.logical_and(depth_val > 0, depth_diff >= -ref._trunc_margin)
+    dist = np.minimum(1, depth_diff / ref._trunc_margin)
+    vx = ref.vox_coords[valid_pts, 0]
+    vy = ref.vox_coords[valid_pts, 1]
+    vz = ref.vox_coords[valid_pts, 2]
+    w_old = ref._weight_vol_cpu[vx, vy, vz]
+    tsdf_vals = ref._tsdf_vol_cpu[vx, vy, vz]
+    tsdf_vol_new, w_new = ref.integrate_tsdf(tsdf_vals, dist[valid_pts],
+                                             w_old, obs_weight)
+    ref._weight_vol_cpu[vx, vy, vz] = w_new
+    ref._tsdf_vol_cpu[vx, vy, vz] = tsdf_vol_new
+
+    old_color = ref._color_vol_cpu[vx, vy, vz]
+    old_b = np.floor(old_color / cc)
+    old_g = np.floor((old_color - old_b * cc) / 256)
+    old_r = old_color - old_b * cc - old_g * 256
+    new_color = color_flat[pix_y[valid_pts] * im_w + pix_x[valid_pts]]
+    new_b = np.floor(new_color / cc)
+    new_g = np.floor((new_color - new_b * cc) / 256)
+    new_r = new_color - new_b * cc - new_g * 256
+    new_b = np.minimum(255., np.round((w_old * old_b + obs_weight * new_b) / w_new))
+    new_g = np.minimum(255., np.round((w_old * old_g + obs_weight * new_g) / w_new))
+    new_r = np.minimum(255., np.round((w_old * old_r + obs_weight * new_r) / w_new))
+    ref._color_vol_cpu[vx, vy, vz] = new_b * cc + new_g * 256 + new_r
+
+
+def test_tsdf_integrate_matches_reference():
+    """Golden: our XLA voxel integration vs the reference's own CPU kernels
+    (/root/reference/tsdf_fusion.py @njit vox2world/cam2pix/integrate_tsdf
+    at :181-218 + rigid_transform at :359, driven per :267-310), run live
+    with numba stubbed to plain python. Same bounds, depths, intrinsics,
+    poses -> tsdf, weight, and color volumes must agree."""
+    from helpers import load_reference_numpy_module
+
+    ref_mod = load_reference_numpy_module("tsdf_fusion.py", "ref_tsdf_fusion")
+
+    # two arbitrary smooth depth maps with a zero hole (tests depth>0
+    # gating) in ~unit-depth units; integer-multiple bounds so the
+    # reference's round() and our ceil() agree on vol_dim
+    yy, xx = np.meshgrid(np.arange(_H), np.arange(_W), indexing="ij")
+    d0 = (0.9 + 0.002 * xx + 0.1 * np.sin(yy / 5.0)).astype(np.float32)
+    d0[5:9, 7:12] = 0.0
+    d1 = (1.0 + 0.05 * np.cos(xx / 7.0) - 0.001 * yy).astype(np.float32)
+    rng = np.random.default_rng(3)
+    c0 = rng.integers(0, 255, (_H, _W, 3)).astype(np.float32)
+    c1 = rng.integers(0, 255, (_H, _W, 3)).astype(np.float32)
+
+    poses_c2w = [np.linalg.inv(_pose_w2c()),
+                 np.linalg.inv(_pose_w2c(angle_y=0.12, tx=-0.08, tz=0.02))]
+    bnds = np.array([[-0.4, 0.4], [-0.3, 0.3], [0.5, 1.3]], np.float32)
+    voxel = 0.05
+    margin = 3
+
+    ref = ref_mod.TSDFVolume(bnds.copy(), voxel, use_gpu=False, margin=margin)
+    ours = TSDFVolume(bnds.copy(), voxel, margin=margin, use_color=True)
+    assert tuple(ours.vol_dim) == tuple(ref._vol_dim)
+
+    for depth, color, c2w in [(d0, c0, poses_c2w[0]), (d1, c1, poses_c2w[1])]:
+        _ref_integrate_cpu(ref_mod, ref, color, depth, _INTR, c2w,
+                           obs_weight=1.0)
+        ours.integrate(depth, _INTR, c2w, color_im=color, obs_weight=1.0)
+
+    tsdf_ours, weight_ours = ours.get_volume()
+    np.testing.assert_allclose(weight_ours, ref._weight_vol_cpu, atol=1e-6)
+    np.testing.assert_allclose(tsdf_ours, ref._tsdf_vol_cpu, atol=2e-5)
+    # both views observed a meaningful voxel set (the comparison is not
+    # trivially all-background)
+    assert (ref._weight_vol_cpu >= 2).sum() > 200
+    assert (np.abs(ref._tsdf_vol_cpu) < 1).sum() > 200
+
+    # color: reference packs BGR into one float with per-step round/floor
+    # (tsdf_fusion.py:300-310); ours keeps float channels -> compare the
+    # unpacked running averages to quantization tolerance
+    cc = 256 * 256
+    packed = ref._color_vol_cpu
+    b = np.floor(packed / cc)
+    g = np.floor((packed - b * cc) / 256)
+    r = packed - b * cc - g * 256
+    ref_rgb = np.stack([r, g, b], axis=-1)
+    obs = ref._weight_vol_cpu > 0
+    np.testing.assert_allclose(np.asarray(ours.color)[obs], ref_rgb[obs],
+                               atol=2.0)
+
+
+def _plane_depth(w2c, n_world, c_plane):
+    """Analytic z-depth of the plane {p: n.p = c} per pixel of a camera."""
+    ys, xs = np.meshgrid(np.arange(_H), np.arange(_W), indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)]).reshape(3, -1).astype(np.float64)
+    dirs_cam = np.linalg.inv(_INTR) @ pix  # z-component 1 -> s = z-depth
+    c2w = np.linalg.inv(w2c)
+    dirs_w = c2w[:3, :3] @ dirs_cam
+    cam_center = c2w[:3, 3]
+    s = (c_plane - n_world @ cam_center) / (n_world @ dirs_w)
+    return s.reshape(_H, _W).astype(np.float32)
+
+
+def test_depth_fusion_consistency_matches_reference():
+    """Golden: our vectorized reproject/check_geometric_consistency vs the
+    reference's (/root/reference/code1/utils/depth_fusion.py:33-90), run
+    live with cv2.remap stubbed by a real numpy bilinear resampler. A
+    geometrically consistent plane must pass, a corrupted patch must fail,
+    and the masks must agree pixel-for-pixel."""
+    from uforecon_tpu.fusion.depth_fusion import check_geometric_consistency
+
+    from helpers import load_reference_numpy_module
+
+    ref_mod = load_reference_numpy_module("code1/utils/depth_fusion.py",
+                                          "ref_depth_fusion")
+
+    n_world = np.array([0.05, -0.02, 1.0])
+    n_world /= np.linalg.norm(n_world)
+    c_plane = 1.1
+    ext_ref = _pose_w2c()
+    ext_src = _pose_w2c(angle_y=0.15, tx=-0.1, tz=0.03)
+    depth_ref = _plane_depth(ext_ref, n_world, c_plane)
+    depth_src = _plane_depth(ext_src, n_world, c_plane)
+    depth_ref[4:8, 20:26] *= 1.2  # inconsistent patch -> masked out
+
+    m_ref, z_ref, _, _ = ref_mod.check_geometric_consistency(
+        depth_ref, _INTR, ext_ref, depth_src, _INTR, ext_src,
+        geo_pixel_thres=1.0, geo_depth_thres=0.01)
+    m_ours, z_ours, _, _ = check_geometric_consistency(
+        depth_ref, _INTR, ext_ref, depth_src, _INTR, ext_src,
+        pix_thresh=1.0, depth_thresh=0.01)
+
+    assert m_ref.sum() > 0.5 * m_ref.size     # plane mostly consistent
+    assert not m_ref[5:7, 21:25].any()        # corruption rejected
+    np.testing.assert_array_equal(m_ours, m_ref)
+    np.testing.assert_allclose(z_ours[m_ref], z_ref[m_ref], rtol=1e-4)
