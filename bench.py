@@ -31,7 +31,7 @@ def main():
 
     import jax
 
-    from uforecon_tpu.config import Config
+    from uforecon_tpu.config import Config, perf_env_overrides
     from uforecon_tpu.models.uforecon import UFORecon
     from uforecon_tpu.pipeline.renderer import SceneRenderer
     from uforecon_tpu.parallel.sharding import make_mesh
@@ -54,6 +54,7 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
+        **perf_env_overrides(),
     )
 
     # full-size synthetic scene (model weights random — throughput is

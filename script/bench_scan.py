@@ -37,7 +37,7 @@ def main():
 
     import jax
 
-    from uforecon_tpu.config import Config
+    from uforecon_tpu.config import Config, perf_env_overrides
     from uforecon_tpu.models.uforecon import UFORecon
     from uforecon_tpu.parallel.sharding import make_mesh
     from uforecon_tpu.pipeline.renderer import SceneRenderer
@@ -57,6 +57,7 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
+        **perf_env_overrides(),
     )
     scene, ray_d = _build_scene(h, w, n_views)
 

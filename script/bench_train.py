@@ -38,7 +38,9 @@ def main():
                                                make_optimizer,
                                                make_train_step)
 
-    cfg = Config(compute_dtype=args.dtype, encoder_dtype=args.encoder_dtype)
+    from uforecon_tpu.config import perf_env_overrides
+    cfg = Config(compute_dtype=args.dtype, encoder_dtype=args.encoder_dtype,
+                 **perf_env_overrides())
     scene, ray_d = _tiny_scene(n_views=args.views, h=args.h, w=args.w,
                                ndepth=192)
     from uforecon_tpu.models.uforecon import UFORecon

@@ -48,7 +48,9 @@ def main():
     ap.add_argument("--coarse", type=int, default=64)
     ap.add_argument("--fine", type=int, default=64)
     ap.add_argument("--skip_grads", action="store_true")
-    # both paths run true f32 at HIGHEST; 'high' adds ~1e-6 rel fwd error
+    # both paths run true f32 at HIGHEST; 'high' adds ~1e-6 rel fwd error.
+    # The env var is applied here (entry point) onto Config.kernel_precision;
+    # model/ops code reads only the typed Config (round-5 env-knob fold).
     prec = os.environ.get("UFO_KERNEL_PRECISION", "highest")
     ap.add_argument("--tol_coarse", type=float,
                     default=1e-4 if prec == "highest" else 3e-3)
@@ -73,7 +75,8 @@ def main():
                       test_sample_fine=args.fine,
                       coarse_sample=args.coarse, fine_sample=args.fine,
                       volume_type="correlation", fused_point_head=fused,
-                      fused_similarity=fused, fused_volume_fusion=fused)
+                      fused_similarity=fused, fused_volume_fusion=fused,
+                      kernel_precision=prec)
 
     scene, ray_d = _tiny_scene(n_views=3, h=args.h, w=args.w, ndepth=192)
     rays = ray_d[:args.rays]

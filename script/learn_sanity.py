@@ -209,7 +209,7 @@ def main():
                          "from logdir and only evaluate")
     args = ap.parse_args()
 
-    from uforecon_tpu.config import Config
+    from uforecon_tpu.config import Config, perf_env_overrides
     from uforecon_tpu.pipeline.fit import fit, pretrain_mvs
 
     cfg = Config(
@@ -226,6 +226,7 @@ def main():
         logdir=args.logdir,
         exp_name="sanity",
         max_epochs=1,
+        **perf_env_overrides(),
     )
 
     print(f"raytracing {args.views} views at {args.w}x{args.h}...", flush=True)

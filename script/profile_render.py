@@ -36,9 +36,10 @@ def main():
     h = int(os.environ.get("BENCH_H", 640))
     w = int(os.environ.get("BENCH_W", 800))
     chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+    from uforecon_tpu.config import perf_env_overrides
     cfg = Config(extract_geometry=True, test_sample_coarse=64,
                  test_sample_fine=64, volume_type="correlation",
-                 compute_dtype=args.dtype)
+                 compute_dtype=args.dtype, **perf_env_overrides())
 
     scene, ray_d = _tiny_scene(n_views=3, h=h, w=w, ndepth=192)
     model = UFORecon(cfg)

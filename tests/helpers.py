@@ -174,8 +174,8 @@ def fused_fwd_tol():
     exact-f32 reference; atol widens accordingly in that mode (measured
     2.06e-5 worst abs at unit scale through the attention/LN chain).
     """
-    from uforecon_tpu.ops.kernel_precision import KERNEL_PRECISION_MODE
-    if KERNEL_PRECISION_MODE == "high":
+    from uforecon_tpu.ops.kernel_precision import current_mode
+    if current_mode() == "high":
         return 2e-4, 2e-4
     return 2e-4, 2e-5
 

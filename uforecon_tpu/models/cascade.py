@@ -135,6 +135,8 @@ def _correlate_chunked(
     ref_feat: jnp.ndarray,      # (H, W, C)
     depth_values: jnp.ndarray,  # (D, H, W)
     target_rows: int = 1 << 20,
+    warp_pad: str = "stage3",   # Config.warp_pad: off | stage3 | stage23
+    warp_dot: bool = False,     # Config.warp_dot
 ) -> jnp.ndarray:
     """Warp + correlate over depth-hypothesis chunks: (V, D, H, W, 1).
 
@@ -151,9 +153,7 @@ def _correlate_chunked(
     while 128-lane rows from the 4x-larger source go 2.35x faster
     (script/bench_warp_gather.py; same pattern as pack_volume_corners'
     corner_pad). Bit-exact: padding is zeros, ``c_out`` slices it back off.
-    UFO_WARP_PAD=0 disables for A/B."""
-    import os
-
+    Config.warp_pad='off' disables for A/B."""
     from ..ops.grid_sample import (grid_sample_2d_dot_packed,
                                    grid_sample_2d_packed, pack_image_corners)
 
@@ -162,18 +162,18 @@ def _correlate_chunked(
     # pack 2x2 bilinear corners once (chunk-invariant): each warp sample is
     # then ONE 4C-row gather in the TPU-fast gather form
     pad = (32 if (c == 8 and src_feats.dtype == jnp.float32
-                  and os.environ.get("UFO_WARP_PAD", "1") == "1")
+                  and warp_pad in ("stage3", "stage23"))
            else None)
     if (pad is None and c == 16 and src_feats.dtype == jnp.float32
-            and os.environ.get("UFO_WARP_PAD2", "0") == "1"):
+            and warp_pad == "stage23"):
         pad = 32  # stage-2 probe: 64-lane rows -> 128 (measured-off default)
     packed = pack_image_corners(src_feats, corner_pad=pad)
-    # UFO_WARP_DOT=1 folds the ref-feature dot + bilinear weights into one
+    # warp_dot folds the ref-feature dot + bilinear weights into one
     # full-lane product over the raw gather rows (grid_sample_2d_dot_packed).
     # Measured-off default: 6.456 vs 6.013 s/step f32 on v5e (BASELINE.md
     # round 4) — the broadcast-concat refw costs more than the c_out slices
     # it removes.
-    use_dot = os.environ.get("UFO_WARP_DOT", "0") == "1"
+    use_dot = warp_dot
 
     def correlate(dv):
         dc = dv.shape[0]
@@ -311,6 +311,10 @@ class CascadeMatcher(nn.Module):
     grad_method: str = "detach"
     share_cr: bool = False
     dtype: jnp.dtype = jnp.float32
+    # measured perf knobs threaded from Config (see config.py warp_pad /
+    # warp_dot docs; round-5 env-knob fold)
+    warp_pad: str = "stage3"
+    warp_dot: bool = False
 
     def setup(self):
         from .featurenet import FeatureNet
@@ -348,7 +352,8 @@ class CascadeMatcher(nn.Module):
         # computed over depth chunks to bound gather padding (see
         # _correlate_chunked)
         sim = _correlate_chunked(src_feats, src_projs, ref_proj, ref_feat,
-                                 depth_values)  # (V-1, D, H, W, 1)
+                                 depth_values, warp_pad=self.warp_pad,
+                                 warp_dot=self.warp_dot)  # (V-1, D, H, W, 1)
 
         if view_weights is None:  # stage 1 only (TransMVSNet.py:216-222)
             view_weights = self.pixel_wise_net(sim, train)  # (V-1, H, W, 1)

@@ -253,6 +253,10 @@ class RayTransformer(nn.Module):
     n_heads: int = 8
     dtype: jnp.dtype = jnp.float32
     # per-point stage backend: 'auto' = fused Pallas kernel on TPU for the
+    # measured perf knobs threaded from Config (round-5 env-knob fold):
+    # fused kernel layout + formatting route; see config.py docs
+    point_head: str = "v1"          # v1 | v2
+    transpose_route: str = "xla"    # xla | mxu
     # full-feature f32 config, pure flax otherwise; 'always'/'never' force
     # (tests run 'always' through the interpreter)
     fused: str = "auto"
@@ -418,19 +422,17 @@ class RayTransformer(nn.Module):
         slabs, host-side transposes) and v2 (point-major (NV, P, C), the raw
         gather-output layout).  v1 measures faster end-to-end on v5e
         (29.5k vs 26.0k rays/s): the dense-lane transposes cost less than
-        the lane-padded small-C loads v2 does in-kernel.  UFO_POINT_HEAD=v2
-        selects the point-major kernel for re-measurement."""
-        import os
-
+        the lane-padded small-C loads v2 does in-kernel.  Config.point_head
+        ='v2' selects the point-major kernel for re-measurement."""
         from ..ops.fused_point_head import PointHeadParams
 
         n = rn * sn
-        use_v2 = os.environ.get("UFO_POINT_HEAD", "v1") == "v2"
+        use_v2 = self.point_head == "v2"
         # kernel-input/-output formatting route: 'xla' = plain transposes,
         # 'mxu' = exact identity contractions (ops/exact_onehot.py
         # exact_transpose, bit-identical) — A/B knob for the measured
         # 1.78 s/image data-formatting bucket (BASELINE.md round 4)
-        use_mxu_t = os.environ.get("UFO_TRANSPOSE", "xla") == "mxu"
+        use_mxu_t = self.transpose_route == "mxu"
 
         if use_v2:
             from ..ops.fused_point_head2 import PointHeadInputs2, point_head2

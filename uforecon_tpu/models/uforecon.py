@@ -73,6 +73,10 @@ class UFORecon(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # pin the fused kernels' forward-dot precision from the typed config
+        # (round-5 env-knob fold); a conflicting later mode raises loudly
+        from ..ops import kernel_precision
+        kernel_precision.set_mode(c.kernel_precision)
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # mixed policy: the frozen matcher may run bf16 while the trained,
         # precision-sensitive render head stays f32 (config.encoder_dtype)
@@ -86,6 +90,8 @@ class UFORecon(nn.Module):
             grad_method=c.grad_method,
             share_cr=c.share_cr,
             dtype=enc_dtype,
+            warp_pad=c.warp_pad,
+            warp_dot=c.warp_dot,
         )
         if c.volume_type == "correlation" and c.volume_reso > 0:
             self.mvs_volume = CostRegNetWeight(base_channels=8, dtype=dtype)
@@ -99,6 +105,8 @@ class UFORecon(nn.Module):
             use_dir_srdf=c.use_dir_srdf,
             dtype=dtype,
             fused=c.fused_point_head,
+            point_head=c.point_head,
+            transpose_route=c.transpose_route,
         )
         # NeuS single deviation scalar (single_variance_network.py:5-11)
         self.variance = self.param(
@@ -160,14 +168,13 @@ class UFORecon(nn.Module):
                     packed = pack_volume_corners(fw, corner_pad=corner_pad)
                     return carry, packed.astype(vol_dtype)[0]
 
-                # UFO_VOLUME_REMAT=0 drops the remat (no backward recompute
+                # volume_remat=False drops the remat (no backward recompute
                 # of the U-Net fwd convs). Measured on v5e at train shapes:
                 # the un-rematted step does not compile — 16.80G HBM needed
                 # vs 15.75G available (BASELINE.md round 4). Knob kept for
                 # larger-HBM parts.
-                import os
-                body = (head if os.environ.get("UFO_VOLUME_REMAT", "1") == "0"
-                        else nn.remat(head, prevent_cse=False))
+                body = (nn.remat(head, prevent_cse=False) if c.volume_remat
+                        else head)
                 scan = nn.scan(
                     body,
                     variable_broadcast="params",

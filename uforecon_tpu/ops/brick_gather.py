@@ -327,7 +327,7 @@ def brick_sample_coarse_mxu(
     Reference workload: per-point trilinear volume sampling,
     /root/reference/code1/model.py:350-390.
     """
-    from .kernel_precision import FORWARD_PRECISION
+    from .kernel_precision import forward_precision
 
     assert padding_mode in ("zeros", "border"), padding_mode
     NV, D, H, W, C8 = packed.shape
@@ -388,7 +388,7 @@ def brick_sample_coarse_mxu(
         # the VPU: FLOP identical for any split, intermediates smallest
         order = sorted(range(3), key=lambda i: -(BD, BH, BW)[i])
         ws = (wz, wy, wx)
-        hp = FORWARD_PRECISION
+        hp = forward_precision()
         a, b = sorted(order[:2])
         keep = order[2]
         sub = "zyx"

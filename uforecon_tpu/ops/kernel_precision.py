@@ -26,37 +26,69 @@ The knob covers ONLY the fused forward kernels — the reference-VJP
 backward always runs true f32, and a 1e-6 fwd/bwd inconsistency is
 harmless (the measured failure threshold was ~3e-3).
 
-Read once at import time: jit traces cache the chosen mode, so flip the
-env var between processes, not mid-run.
+The mode comes from ``Config.kernel_precision`` (round-5 fold of the
+UFO_KERNEL_PRECISION env var): model construction calls :func:`set_mode`
+once, and kernels consume the mode at trace time via :func:`get_mode`.
+Flipping the mode after a kernel has already traced would silently no-op
+(jit cache keys don't see it), so a late conflicting :func:`set_mode`
+raises instead.
 """
 from __future__ import annotations
-
-import os
 
 import jax
 import jax.numpy as jnp
 
 _MODES = ("highest", "high", "fast")
 
-_raw = os.environ.get("UFO_KERNEL_PRECISION", "high").lower()
-if _raw not in _MODES:
-    raise ValueError(
-        f"UFO_KERNEL_PRECISION={_raw!r}: expected one of {sorted(_MODES)}")
-
-#: Which forward-dot strategy every fused kernel matmul uses.
-#: ``fast`` is single-pass native bf16 (f32 accumulation) — INFERENCE
+#: 'fast' is single-pass native bf16 (f32 accumulation) — INFERENCE
 #: ONLY: its ~0.3% forward error vs the true-f32 reference-VJP backward
 #: was measured to destabilize render training (pipeline/trainer.py
 #: refuses to build a train step under it). For serving/extraction it
 #: trades that forward error for throughput; measured numbers in
 #: BASELINE.md round 4.
-KERNEL_PRECISION_MODE: str = _raw
+_DEFAULT_MODE = "high"
+_mode: str = _DEFAULT_MODE
+_consumed: bool = False
 
-#: Kept for introspection/tests: the XLA precision the mode corresponds to.
-FORWARD_PRECISION: jax.lax.Precision = (
-    jax.lax.Precision.HIGHEST if _raw == "highest"
-    else jax.lax.Precision.HIGH if _raw == "high"
-    else jax.lax.Precision.DEFAULT)
+
+def set_mode(mode: str) -> None:
+    """Select the fused kernels' forward-dot strategy (from
+    Config.kernel_precision). Raises on unknown modes, and raises loudly —
+    instead of silently no-opping through stale jit caches — if a kernel
+    already traced under a different mode in this process."""
+    global _mode
+    mode = mode.lower()
+    if mode not in _MODES:
+        raise ValueError(
+            f"kernel_precision={mode!r}: expected one of {sorted(_MODES)}")
+    if _consumed and mode != _mode:
+        raise RuntimeError(
+            f"kernel_precision mode already traced as {_mode!r}; flipping to "
+            f"{mode!r} would silently no-op through cached jit traces. Use "
+            "one mode per process.")
+    _mode = mode
+
+
+def current_mode() -> str:
+    """Introspection read (does not pin the mode)."""
+    return _mode
+
+
+def get_mode() -> str:
+    """Trace-time read used by kernel bodies; pins the mode for the process
+    so a later conflicting set_mode fails loudly."""
+    global _consumed
+    _consumed = True
+    return _mode
+
+
+def forward_precision() -> jax.lax.Precision:
+    """The XLA precision the current mode corresponds to (for non-Pallas
+    call sites that take a Precision)."""
+    m = get_mode()
+    return (jax.lax.Precision.HIGHEST if m == "highest"
+            else jax.lax.Precision.HIGH if m == "high"
+            else jax.lax.Precision.DEFAULT)
 
 
 def kernel_dot(x, y, dimension_numbers):
@@ -72,13 +104,14 @@ def kernel_dot(x, y, dimension_numbers):
     the split itself is shape-agnostic.
     """
     f32 = jnp.float32
-    if KERNEL_PRECISION_MODE == "highest":
+    mode = get_mode()
+    if mode == "highest":
         return jax.lax.dot_general(
             x, y, dimension_numbers,
             preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST)
     bf16 = jnp.bfloat16
-    if KERNEL_PRECISION_MODE == "fast":
+    if mode == "fast":
         return jax.lax.dot_general(
             x.astype(bf16), y.astype(bf16), dimension_numbers,
             preferred_element_type=f32)
@@ -104,7 +137,7 @@ def kernel_dot_01(x, y01, dimension_numbers):
     ops/exact_onehot.py for the exactness argument) against the exact
     0/1 operand reproduces the f32 contraction up to f32 accumulation
     order in three single-pass bf16 MXU dots — half HIGHEST's passes,
-    independent of UFO_KERNEL_PRECISION, and Mosaic-lowerable inside
+    independent of the kernel_precision mode, and Mosaic-lowerable inside
     pallas_call in every mode (bf16x2 of the value side is NOT enough
     here: the contracted products carry full f32 mantissas and cancel,
     which a 2-way split turns into ~1e-2 relative error on near-zero

@@ -105,8 +105,8 @@ def make_train_step(cfg: Config, model: UFORecon, tx: optax.GradientTransformati
     Inputs: scene (SceneInputs), ray_d (RN,3), rgb_gt (RN,3), depth_gt (RN,),
     rng. The ray axis may carry a 'rays' NamedSharding for multi-chip.
     """
-    from ..ops.kernel_precision import KERNEL_PRECISION_MODE
-    if KERNEL_PRECISION_MODE == "fast":
+    from ..ops.kernel_precision import current_mode
+    if current_mode() == "fast":
         raise ValueError(
             "UFO_KERNEL_PRECISION=fast is inference-only: its ~0.3% fused-"
             "kernel forward error vs the true-f32 reference-VJP backward "
