@@ -46,6 +46,14 @@ def main():
     # the 72->128 volume lane padding with FLAT gathers (no plan): the
     # round-3 A/B only ever measured pad+bricks together.
     brick = os.environ.get("BENCH_BRICK", "never")
+    # BENCH_MERGE=1 measures the round-5 merged-stage-volume path (ONE
+    # 25-ch gather row per point-view instead of 3 stage rows;
+    # ops/volume_merge.py); BENCH_MERGE=pad additionally lane-pads the
+    # packed rows 200 -> 256 (merge_pad)
+    merge = os.environ.get("BENCH_MERGE", "0")
+    # BENCH_MERGE_DEPTH overrides the common-grid z-bin count (default =
+    # stage 3's ndepth = 8); memory scales linearly with it
+    merge_depth = int(os.environ.get("BENCH_MERGE_DEPTH", "0"))
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
@@ -54,6 +62,9 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
+        **({"volume_merge": "auto", "merge_pad": merge == "pad",
+            "merge_depth": merge_depth}
+           if merge != "0" else {}),
         **perf_env_overrides(),
     )
 
@@ -114,6 +125,8 @@ def main():
         # planner declines (can't certify / wrong backend / tiling mismatch)
         # the bench silently measures the flat path — this field says which
         "brick": plan is not None,
+        # whether the merged-stage-volume path ran (Config.volume_merge)
+        "merge": cfg.volume_merge == "auto",
     }))
 
 

@@ -169,6 +169,17 @@ class Config:
     # per-tile host certification (uncertified tiles take the flat path via
     # lax.cond), for memory-rich runs or future kernels.
     volume_brick: str = "never"          # auto | never
+    # Encode-time merge of each view's 3 stage volumes into ONE
+    # 25-channel volume on a common (merge_depth, H, W) grid
+    # (ops/volume_merge.py): 3 gather rows/point instead of 9 on the
+    # dominant render bucket, at ~1.1x per-row cost (wide rows measured
+    # issue-rate-bound, script/bench_wide_gather.py). METRIC-parity
+    # approximation (coarse stages are re-discretized on the common
+    # grid), gated by learn_sanity mesh metrics + fused-vs-exact
+    # tolerance tests; 'never' keeps the reference-exact per-stage path.
+    volume_merge: str = "never"          # auto | never
+    merge_depth: int = 0                 # common-grid z-bins; 0 = ndepths[-1]
+    merge_pad: bool = False              # pad packed rows 200 -> 256 lanes
     # tile 16 / 4 slabs measured best in the on-chip query sweep
     # (script/bench_brick_query.py: 1.34/1.14/1.13x per stage vs 1.27/0.95/
     # 1.0x at 32/8) — smaller bricks beat fewer dynamic_slice dispatches
@@ -193,6 +204,7 @@ class Config:
             "fused_similarity": ("auto", "always", "never"),
             "fused_volume_fusion": ("auto", "always", "never"),
             "brick_kernel": ("gather", "mxu"),
+            "volume_merge": ("auto", "never"),
             "warp_pad": ("off", "stage3", "stage23"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
@@ -203,6 +215,11 @@ class Config:
             if v not in values:
                 raise ValueError(
                     f"Config.{field}={v!r} not in {values}")
+        if self.volume_merge == "auto" and self.volume_brick == "auto":
+            raise ValueError(
+                "volume_merge and volume_brick cannot both be 'auto': the "
+                "brick planner certifies per-stage volumes, which the "
+                "merged path replaces with one fused volume")
 
     @property
     def num_stages(self) -> int:
@@ -275,6 +292,10 @@ def perf_env_overrides() -> dict:
         out["transpose_route"] = os.environ["UFO_TRANSPOSE"]
     if "UFO_KERNEL_PRECISION" in os.environ:
         out["kernel_precision"] = os.environ["UFO_KERNEL_PRECISION"].lower()
+    if "UFO_VOLUME_MERGE" in os.environ:
+        out["volume_merge"] = os.environ["UFO_VOLUME_MERGE"]
+    if "UFO_MERGE_DEPTH" in os.environ:
+        out["merge_depth"] = int(os.environ["UFO_MERGE_DEPTH"])
     return out
 
 

@@ -39,6 +39,8 @@ def query_correlation_volume(
     brick_flags: Optional[Dict[str, jnp.ndarray]] = None,
     brick_n_seg: int = 8,
     brick_kernel: str = "gather",        # gather | mxu (see brick_gather)
+    merged_n_feat: int = 24,             # true feature chans of a merged
+                                         # volume (n_stages * 8)
 ) -> jnp.ndarray:
     """Weighted fusion of per-view multi-stage correlation-frustum features.
 
@@ -77,6 +79,16 @@ def query_correlation_volume(
     near, far = near_far
     _, xyz, _ = project_points_ndc(source_poses, points, near_far=(near, far))
     # xyz: (NV, RN, SN, 3) with z in [-1, 1]
+
+    if "merged" in volumes:
+        # round-5 merged-volume path (Config.volume_merge='auto'): every
+        # view's 3 stage volumes were fused at encode time
+        # (ops/volume_merge.py) — ONE gather row per (point, view)
+        # instead of one per (point, view, stage). Same coordinates, same
+        # cross-view ratio math.
+        from ..ops.volume_merge import query_merged_volume
+
+        return query_merged_volume(volumes["merged"], xyz, merged_n_feat)
 
     fws = []
     for stage, packed in volumes.items():

@@ -134,7 +134,38 @@ class UFORecon(nn.Module):
         enc = jax.lax.stop_gradient(enc)
         volumes = {}
         fea_grid = None
-        if c.volume_type == "correlation" and c.volume_reso > 0:
+        if (c.volume_type == "correlation" and c.volume_reso > 0
+                and c.volume_merge == "auto"):
+            # round-5 merged path (ops/volume_merge.py): apply the volume
+            # head per stage UNPACKED, resample every stage onto one
+            # (merge_depth, H, W) grid, concatenate channels + summed
+            # weight, corner-pack ONCE -> 3 gather rows/point in the
+            # render loop instead of 9. Metric-parity approximation of
+            # the exact per-stage path below (see config.volume_merge).
+            from ..ops.volume_merge import merge_stage_volumes
+
+            vol_dtype = (jnp.float32 if c.volume_dtype == "float32"
+                         else jnp.bfloat16)
+            fws = {}
+            for stage, cv in enc["cost_volumes"].items():
+                def head_u(mdl, carry, cv_r):
+                    f, wgt = mdl.mvs_volume(cv_r[None, ..., None])
+                    return carry, jnp.concatenate([f, wgt], axis=-1)[0]
+
+                body = (nn.remat(head_u, prevent_cse=False)
+                        if c.volume_remat else head_u)
+                scan = nn.scan(
+                    body,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=0, out_axes=0,
+                )
+                _, fws[stage] = scan(self, None, cv)
+            d_m = c.merge_depth or c.ndepths[-1]
+            volumes["merged"] = merge_stage_volumes(
+                fws, d_m, (h, w), dtype=vol_dtype,
+                corner_pad=32 if c.merge_pad else None)
+        elif c.volume_type == "correlation" and c.volume_reso > 0:
             for stage, cv in enc["cost_volumes"].items():
                 # corner-pack feat||weight: one 72-value gather row per
                 # trilinear sample in the render loop instead of 16 tiny
@@ -228,6 +259,7 @@ class UFORecon(nn.Module):
                 brick=volume_brick, brick_origins=brick_origins,
                 brick_flags=brick_flags, brick_n_seg=c.brick_n_seg,
                 brick_kernel=c.brick_kernel,
+                merged_n_feat=8 * len(c.ndepths),
             )
         elif c.volume_type == "featuregrid" and c.volume_reso > 0:
             fea_volume_feat = grid_sample_3d(
