@@ -49,6 +49,7 @@ def main():
     # plan), normalized to volume_brick='auto' exactly as bench.py does —
     # Config validates the field, so the raw 'pad' string must not reach it
     brick = os.environ.get("BENCH_BRICK", "never")
+    merge = os.environ.get("BENCH_MERGE", "0")  # same knob as bench.py
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
@@ -57,6 +58,8 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
+        **({"volume_merge": "auto", "merge_pad": merge == "pad"}
+           if merge != "0" else {}),
         **perf_env_overrides(),
     )
     scene, ray_d = _build_scene(h, w, n_views)
@@ -107,14 +110,44 @@ def main():
         volume_brick=plan))
 
     scan_s = n_views * (enc_s + rnd_s)
+
+    # pipelined scan (VERDICT r4 #6 overlap): dispatch view k+1's encode +
+    # render BEFORE fetching view k's outputs, so each view's host tail
+    # (~10 MB tunnel download + conversions) overlaps the next view's
+    # device execution — the same software pipeline pipeline/extract.py
+    # runs in production
+    extras = {
+        "ray_d": ray_d,
+        "cam_ray_d": np.concatenate(
+            [np.zeros((n, 2), np.float32), np.ones((n, 1), np.float32)], 1),
+        "hw": (h, w),
+        "scale_mat": np.eye(4, dtype=np.float32),
+    }
+
+    def scan_pipelined(rep):
+        t0 = time.perf_counter()
+        pending = None
+        for i in range(n_views):
+            hdl = renderer.render_depth_view_async(
+                scene, extras, jax.random.PRNGKey(rep * 10 + i))
+            if pending is not None:
+                renderer.finalize_depth_view(pending)
+            pending = hdl
+        renderer.finalize_depth_view(pending)
+        return time.perf_counter() - t0
+
+    scan_pipelined(0)  # warm the async-path jit signatures
+    pipe_s = min(scan_pipelined(r) for r in (1, 2))
+
     baseline_scan_s = 123.0  # 3 views x (39 s render + 2 s encode) on a 3090
     print(json.dumps({
         "metric": "scan_depth_render_latency_s",
-        "value": round(scan_s, 2),
+        "value": round(pipe_s, 2),
         "unit": "s/scan",
         "encode_s_per_view": round(enc_s, 2),
         "render_s_per_view": round(rnd_s, 2),
-        "vs_baseline": round(baseline_scan_s / scan_s, 3),
+        "sequential_s_per_scan": round(scan_s, 2),
+        "vs_baseline": round(baseline_scan_s / pipe_s, 3),
     }))
 
 

@@ -153,3 +153,36 @@ def test_sharded_train_grads_match_single_device(rng):
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_render_depth_view_async_matches_sync():
+    """The overlap pair (render_depth_view_async + finalize_depth_view)
+    must produce bit-identical outputs to the synchronous path (same key,
+    same scene) — the pipelined extract loop depends on it."""
+    import jax
+
+    from helpers import make_synthetic_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+    from uforecon_tpu.parallel.sharding import make_mesh
+    from uforecon_tpu.pipeline.renderer import SceneRenderer
+
+    cfg = Config(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
+                 coarse_sample=8, fine_sample=8, test_sample_coarse=8,
+                 test_sample_fine=8, volume_type="correlation",
+                 extract_geometry=True)
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=32)
+    extras = dict(extras)
+    extras["cam_ray_d"] = np.ones((extras["ray_d"].shape[0], 3), np.float32)
+    extras["scale_mat"] = np.eye(4, dtype=np.float32)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, scene, extras["ray_d"][:32], key)
+    r = SceneRenderer(cfg, variables, mesh=make_mesh(1), chunk=256)
+
+    sync = r.render_depth_view(scene, extras, jax.random.PRNGKey(7))
+    handle = r.render_depth_view_async(scene, extras, jax.random.PRNGKey(7))
+    asyn = r.finalize_depth_view(handle)
+    for k in ("depth", "rgb", "opacity"):
+        np.testing.assert_array_equal(np.asarray(sync[k]),
+                                      np.asarray(asyn[k]))

@@ -61,25 +61,38 @@ def extract_geometry_for_dataset(cfg: Config, variables, dataset,
     renderer = SceneRenderer(cfg, variables, mesh=mesh)
     key = jax.random.PRNGKey(seed)
 
-    total_rays = 0
-    t_start = None
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        scene, extras = scene_inputs_from_sample(sample)
-        key, sub = jax.random.split(key)
-        out = renderer.render_depth_view(scene, extras, sub)
-        if t_start is None:  # skip compile in timing
-            t_start = time.perf_counter()
-            t_first = t_start
-        total_rays += extras["ray_d"].shape[0]
-
-        meta = extras["meta"]
-        parts = meta.split("-")
+    def save_view(handle, extras):
+        out = renderer.finalize_depth_view(handle)
+        parts = extras["meta"].split("-")
         scan, name = parts[1], parts[-1]
         save_depth_outputs(
             out_dir, scan, name, out["depth"], out["rgb"],
             extras["extrinsic_render_view"], extras["intrinsic_render_view"],
         )
+
+    # software-pipelined view loop (VERDICT r4 #6): view i+1's data load +
+    # encode/render DISPATCH happen before view i's outputs are fetched, so
+    # view i's host tail (~10 MB tunnel download + numpy conversion + file
+    # writes) overlaps view i+1's device execution
+    total_rays = 0
+    t_start = None
+    pending = None
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        scene, extras = scene_inputs_from_sample(sample)
+        key, sub = jax.random.split(key)
+        handle = renderer.render_depth_view_async(scene, extras, sub)
+        if t_start is None:  # skip compile in timing
+            # scalar fetch, not block_until_ready: on the axon tunnel
+            # block_until_ready returns before device completion
+            float(handle["out"]["depth"][0])
+            t_start = time.perf_counter()
+        total_rays += extras["ray_d"].shape[0]
+        if pending is not None:
+            save_view(*pending)
+        pending = (handle, extras)
+    if pending is not None:
+        save_view(*pending)
     elapsed = max(time.perf_counter() - (t_start or time.perf_counter()), 1e-9)
     return {"views": len(dataset), "rays": total_rays,
             "rays_per_sec": total_rays / elapsed}

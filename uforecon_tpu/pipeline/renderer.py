@@ -126,6 +126,7 @@ class SceneRenderer:
         key: jax.Array,
         coarse_only: bool = False,
         volume_brick=None,                  # Optional[BrickPlan]
+        fetch: bool = True,
     ) -> Dict[str, np.ndarray]:
         n = ray_d.shape[0]
         mult = self.chunk * self.n_dev
@@ -180,6 +181,12 @@ class SceneRenderer:
             jnp.asarray(ray_d_p), jnp.asarray(near_p), jnp.asarray(far_p),
             jnp.asarray(flags), jnp.asarray(origins), key,
         )
+        if not fetch:
+            # async dispatch: leave the outputs on device so the caller can
+            # enqueue the NEXT view's work before paying the host fetch
+            # (tunnel downloads run 13-30 MB/s; the ~10 MB of full-image
+            # outputs cost real wall time that overlap hides)
+            return {"rgb": rgb, "depth": depth, "opacity": opacity, "_n": n}
         return {
             "rgb": np.asarray(rgb)[:n],
             "depth": np.asarray(depth)[:n],
@@ -234,6 +241,19 @@ class SceneRenderer:
         bounds), rendered ray distance converted back to z-depth and scaled
         to millimetres by scale_mat[0, 0].
         """
+        return self.finalize_depth_view(
+            self.render_depth_view_async(scene, extras, key))
+
+    def render_depth_view_async(self, scene: SceneInputs, extras: Dict,
+                                key: jax.Array) -> Dict:
+        """Dispatch one view's encode + render WITHOUT fetching (VERDICT r4
+        #6 overlap): returns a handle for :meth:`finalize_depth_view`.
+
+        The device queue serializes programs, but dispatching view k+1
+        before fetching view k lets view k's host tail (the ~10 MB tunnel
+        download + numpy conversions + file writes in the extract loop)
+        run while k+1 executes on device. Same math as render_depth_view.
+        """
         enc = self.encode(scene)
         ray_d = np.asarray(extras["ray_d"])
         cam_rd = np.asarray(extras["cam_ray_d"])
@@ -243,6 +263,7 @@ class SceneRenderer:
         h, w = extras["hw"]
 
         plan = self._plan_bricks(scene, enc, ray_d, near, far, (h, w))
+        inv = None
         if plan is not None:
             from ..ops.brick_plan import tile_order
             perm, inv = tile_order(h, w, self.cfg.brick_tile)
@@ -250,13 +271,23 @@ class SceneRenderer:
 
         out = self.render_rays(scene, enc, ray_d, near, far, key,
                                coarse_only=self.cfg.test_coarse_only,
-                               volume_brick=plan)
-        if plan is not None:
-            out = {k: v[inv] for k, v in out.items()}
-        depth_z = out["depth"] * cam_rd[:, 2]           # ray distance -> z
-        depth_mm = depth_z * extras["scale_mat"][0, 0]  # scene units -> mm
+                               volume_brick=plan, fetch=False)
+        return {"out": out, "inv": inv, "cam_rd": cam_rd, "hw": (h, w),
+                "scale": extras["scale_mat"][0, 0]}
+
+    def finalize_depth_view(self, handle: Dict) -> Dict[str, np.ndarray]:
+        """Fetch + convert a render_depth_view_async handle (host side)."""
+        out = handle["out"]
+        n = out["_n"]
+        fetched = {k: np.asarray(out[k])[:n]
+                   for k in ("rgb", "depth", "opacity")}
+        if handle["inv"] is not None:
+            fetched = {k: v[handle["inv"]] for k, v in fetched.items()}
+        h, w = handle["hw"]
+        cam_rd = handle["cam_rd"]
+        depth_mm = fetched["depth"] * cam_rd[:, 2] * handle["scale"]
         return {
             "depth": depth_mm.reshape(h, w),
-            "rgb": out["rgb"].reshape(h, w, 3),
-            "opacity": out["opacity"].reshape(h, w),
+            "rgb": fetched["rgb"].reshape(h, w, 3),
+            "opacity": fetched["opacity"].reshape(h, w),
         }
