@@ -246,8 +246,14 @@ def main():
             variables["batch_stats"] = restored["batch_stats"]
         print(f"restored step {step}", flush=True)
         result = {"resumed_step": int(step)}
+        renderer = make_renderer(cfg, variables)
+        # depth L1 of the restored weights through THIS cfg's render path:
+        # with UFO_VOLUME_MERGE=auto this evaluates exact-trained weights
+        # through the merged-volume renderer (the production configuration
+        # for the round-5 redesign: train exact, render merged)
+        result["depth_l1"] = round(render_depth_error(renderer, ds[0]), 4)
         if args.mesh_eval:
-            result.update(mesh_eval(make_renderer(cfg, variables), ds))
+            result.update(mesh_eval(renderer, ds))
         print(json.dumps(result))
         return 0 if result.get("mesh_pass", True) else 1
 
