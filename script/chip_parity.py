@@ -67,6 +67,36 @@ def main():
     from uforecon_tpu.config import Config
     from uforecon_tpu.models.uforecon import UFORecon
 
+    # Gate 0 — one-hot contraction exactness ON THIS BACKEND. The CPU
+    # tests cannot catch backend-specific simplifications: round 5 found
+    # XLA:TPU deleting the f32->bf16->f32 round-trip inside _split3
+    # ("excess precision" folding), silently degrading every 'exact'
+    # one-hot fetch/permutation to a single bf16 dot (~2e-3), which blew
+    # up the importance-sampler's small-denominator interpolation into
+    # wild z extrapolations. Assert bit-exactness here so any future
+    # compiler change re-breaking it fails the gate loudly.
+    import numpy as _np
+
+    from uforecon_tpu.ops.exact_onehot import (exact_onehot_matmul,
+                                               exact_transpose)
+
+    _rng = _np.random.default_rng(0)
+    _vals = (_rng.random((4, 37, 3)) * 2 - 1).astype(_np.float32)
+    _vals[1] *= 1e4
+    _idx = _rng.integers(0, 37, (4, 29))
+    _oh = (_np.arange(37)[None, None, :] == _idx[..., None]).astype(_np.float32)
+    _got = _np.asarray(jax.jit(exact_onehot_matmul)(
+        jnp.asarray(_oh), jnp.asarray(_vals)))
+    _ref = _np.take_along_axis(_vals, _idx[..., None], axis=1)
+    assert _np.array_equal(_got, _ref), (
+        "exact_onehot_matmul NOT exact on this backend: max diff "
+        f"{_np.abs(_got - _ref).max()}")
+    _t = _np.asarray(jax.jit(exact_transpose)(jnp.asarray(_vals)))
+    assert _np.array_equal(_t, _np.swapaxes(_vals, -1, -2)), \
+        "exact_transpose NOT exact on this backend"
+    print(json.dumps({"gate0_onehot_exact": True,
+                      "platform": jax.default_backend()}), flush=True)
+
     def cfg_for(fused):
         # 'always' turns on EVERY fused render kernel (point head, ray
         # head via fused_point_head's routing, grouped cosine, view

@@ -36,13 +36,40 @@ import jax
 import jax.numpy as jnp
 
 
+def _mask_bf16(x):
+    """Truncate an f32 array to its top 16 bits (an exactly-bf16-
+    representable f32) via integer masking.
+
+    NOT equivalent to ``x.astype(bf16).astype(f32)`` under jit on TPU:
+    XLA's excess-precision simplification DELETES that convert round-trip
+    (measured round 5 — the folded split degenerated to a single
+    default-precision bf16 dot, a silent ~2e-3 error that produced
+    wild importance-sampling extrapolations and ruined eval depth maps;
+    /tmp-diag trail recorded in BASELINE.md round 5). A bitcast-mask-
+    bitcast is integer arithmetic the simplifier must preserve. Truncation
+    (round-toward-zero) rather than round-to-nearest keeps the residual
+    the same sign as x; exactness of the 3-way decomposition only needs
+    each component exactly representable, which top-16-bit masking
+    guarantees by construction."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
 def _split3(values):
-    """f32 -> three exactly-bf16-representable f32 components."""
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    hi = values.astype(bf16).astype(f32)
+    """f32 -> three exactly-bf16-representable f32 components.
+
+    hi = top-16-bit truncation of v; rem = v - hi is exact (hi and v share
+    sign and exponent, Sterbenz) and carries v's mantissa bits 9-24; mid =
+    truncation of rem leaves a residual with <= 8 significant bits, which
+    bf16's 8-bit significand holds exactly. hi + mid + lo == v exactly,
+    each addend survives a DEFAULT-precision bf16 operand rounding
+    unchanged. (Asserted bit-identical vs HIGHEST/gathers in
+    tests/test_render_ops.py on CPU and — the case that actually caught
+    the convert-folding bug — on chip via script/chip_parity.py.)"""
+    hi = _mask_bf16(values)
     rem = values - hi
-    mid = rem.astype(bf16).astype(f32)
+    mid = _mask_bf16(rem)
     return hi, mid, rem - mid
 
 

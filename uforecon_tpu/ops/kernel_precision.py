@@ -115,6 +115,11 @@ def kernel_dot(x, y, dimension_numbers):
         return jax.lax.dot_general(
             x.astype(bf16), y.astype(bf16), dimension_numbers,
             preferred_element_type=f32)
+    # NOTE: these convert-form splits live INSIDE pallas_call bodies, where
+    # Mosaic preserves the f32->bf16 converts (measured: chip_parity grad
+    # rel-L2 7.2e-6 at 'high'). Plain-XLA code must NOT copy this pattern:
+    # XLA:TPU deletes f32->bf16->f32 round-trips (round-5 finding) — use
+    # ops/exact_onehot._mask_bf16 there. chip_parity.py gates both.
     x = x.astype(f32)
     y = y.astype(f32)
     xh = x.astype(bf16)
