@@ -46,11 +46,11 @@ def main():
     # the 72->128 volume lane padding with FLAT gathers (no plan): the
     # round-3 A/B only ever measured pad+bricks together.
     brick = os.environ.get("BENCH_BRICK", "never")
-    # BENCH_MERGE=1 measures the round-5 merged-stage-volume path (ONE
-    # 25-ch gather row per point-view instead of 3 stage rows;
-    # ops/volume_merge.py); BENCH_MERGE=pad additionally lane-pads the
-    # packed rows 200 -> 256 (merge_pad)
-    merge = os.environ.get("BENCH_MERGE", "0")
+    # volume_merge='auto' (merged stage volumes, ops/volume_merge.py) is
+    # the shipped default since round 5; BENCH_MERGE=never measures the
+    # reference-exact per-stage path, BENCH_MERGE=pad lane-pads the packed
+    # rows 200 -> 256 (merge_pad)
+    merge = os.environ.get("BENCH_MERGE", "")
     # BENCH_MERGE_DEPTH overrides the common-grid z-bin count (default =
     # stage 3's ndepth = 8); memory scales linearly with it
     merge_depth = int(os.environ.get("BENCH_MERGE_DEPTH", "0"))
@@ -62,9 +62,10 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
-        **({"volume_merge": "auto", "merge_pad": merge == "pad",
-            "merge_depth": merge_depth}
-           if merge != "0" else {}),
+        **({"volume_merge": "never"} if merge in ("0", "never")
+           else {"volume_merge": "auto", "merge_pad": merge == "pad",
+                 "merge_depth": merge_depth} if merge else
+           {"merge_depth": merge_depth} if merge_depth else {}),
         **perf_env_overrides(),
     )
 

@@ -49,7 +49,7 @@ def main():
     # plan), normalized to volume_brick='auto' exactly as bench.py does —
     # Config validates the field, so the raw 'pad' string must not reach it
     brick = os.environ.get("BENCH_BRICK", "never")
-    merge = os.environ.get("BENCH_MERGE", "0")  # same knob as bench.py
+    merge = os.environ.get("BENCH_MERGE", "")  # same knob as bench.py
     cfg = Config(
         extract_geometry=True,
         test_sample_coarse=64,
@@ -58,8 +58,9 @@ def main():
         volume_brick="auto" if brick == "pad" else brick,
         **({"fused_similarity": fused_glue,
             "fused_volume_fusion": fused_glue} if fused_glue else {}),
-        **({"volume_merge": "auto", "merge_pad": merge == "pad"}
-           if merge != "0" else {}),
+        **({"volume_merge": "never"} if merge in ("0", "never")
+           else {"volume_merge": "auto", "merge_pad": merge == "pad"}
+           if merge else {}),
         **perf_env_overrides(),
     )
     scene, ray_d = _build_scene(h, w, n_views)
@@ -123,6 +124,11 @@ def main():
         "hw": (h, w),
         "scale_mat": np.eye(4, dtype=np.float32),
     }
+
+    # the merged volumes are ~5 GB: the phase-timing encoder output must be
+    # released before the pipelined scan re-encodes, or two live encodes
+    # exhaust v5e HBM
+    del enc, out
 
     def scan_pipelined(rep):
         t0 = time.perf_counter()

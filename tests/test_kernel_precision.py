@@ -88,6 +88,8 @@ def test_defaults_are_measured_fastest_config():
     assert cfg.fused_similarity == "never"     # glue kernels off (round 3)
     assert cfg.fused_volume_fusion == "never"
     assert cfg.volume_brick == "never"         # round-4 brick A/B (+0.4%)
+    assert cfg.volume_merge == "auto"          # round-5: 35.6k vs 26.5k
+    assert cfg.merge_pad is False              # dead heat for +28% HBM (r5)
     assert cfg.warp_pad == "stage3"            # 7.41 -> 6.01 s/step (r4)
     assert cfg.warp_dot is False               # 6.456 s/step dead end (r4)
     assert cfg.volume_remat is True            # remat-off OOMs on 16G v5e

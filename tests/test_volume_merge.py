@@ -169,3 +169,33 @@ def test_config_rejects_merge_plus_brick():
 
     with pytest.raises(ValueError):
         Config(volume_merge="auto", volume_brick="auto")
+
+
+def test_merge_auto_is_eval_only():
+    """'auto' must leave the TRAINING path on exact per-stage volumes
+    (extract_geometry=False): training through the merged resample was
+    measured unstable (BASELINE.md round 5). 'always' forces it."""
+    from helpers import make_synthetic_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+    import jax as _jax
+
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=32)
+    base = dict(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
+                coarse_sample=8, fine_sample=8, test_sample_coarse=8,
+                test_sample_fine=8, volume_type="correlation",
+                volume_merge="auto")
+    rays = extras["ray_d"][:32]
+    key = _jax.random.PRNGKey(0)
+
+    for extract, merge_mode, expect in [
+        (False, "auto", {"stage1", "stage2", "stage3"}),
+        (True, "auto", {"merged"}),
+        (False, "always", {"merged"}),
+    ]:
+        cfg = Config(**{**base, "volume_merge": merge_mode,
+                        "extract_geometry": extract})
+        model = UFORecon(cfg)
+        variables = _jax.jit(model.init)(key, scene, rays, key)
+        enc = model.bind(variables).encode(scene)
+        assert set(enc.volumes.keys()) == expect, (extract, merge_mode)

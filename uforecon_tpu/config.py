@@ -177,7 +177,16 @@ class Config:
     # approximation (coarse stages are re-discretized on the common
     # grid), gated by learn_sanity mesh metrics + fused-vs-exact
     # tolerance tests; 'never' keeps the reference-exact per-stage path.
-    volume_merge: str = "never"          # auto | never
+    # 'auto' = merged volume on the eval/extract path ONLY (training
+    # through the merged resample measured unstable — learn_sanity
+    # diverged, BASELINE.md round 5 — while exact-trained weights
+    # evaluate cleanly through it); 'always' forces it in training too.
+    # DEFAULT 'auto' (round 5): 35.6k vs 26.5k rays/s on the bench; the
+    # gates' measured cost on the learn_sanity sphere (exact-trained
+    # weights, same ckpt): depth L1 0.60% -> 1.03% of span, mesh acc
+    # 2.80% -> 3.21%, comp 1.81% -> 2.05% of radius (mesh_pass both).
+    # 'never' restores the reference-exact per-stage sampling.
+    volume_merge: str = "auto"           # auto | always | never
     merge_depth: int = 0                 # common-grid z-bins; 0 = ndepths[-1]
     merge_pad: bool = False              # pad packed rows 200 -> 256 lanes
     # tile 16 / 4 slabs measured best in the on-chip query sweep
@@ -204,7 +213,7 @@ class Config:
             "fused_similarity": ("auto", "always", "never"),
             "fused_volume_fusion": ("auto", "always", "never"),
             "brick_kernel": ("gather", "mxu"),
-            "volume_merge": ("auto", "never"),
+            "volume_merge": ("auto", "always", "never"),
             "warp_pad": ("off", "stage3", "stage23"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),

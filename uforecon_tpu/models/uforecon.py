@@ -134,8 +134,16 @@ class UFORecon(nn.Module):
         enc = jax.lax.stop_gradient(enc)
         volumes = {}
         fea_grid = None
+        # 'auto' engages the merged volume only on the eval/extract path
+        # (extract_geometry=True): training through the merged resample was
+        # measured unstable (learn_sanity diverged, BASELINE.md round 5)
+        # while exact-trained weights evaluate cleanly through it — the
+        # production configuration is train exact, render merged.
+        # 'always' forces the merge in training too (research knob).
+        use_merge = (c.volume_merge == "always"
+                     or (c.volume_merge == "auto" and c.extract_geometry))
         if (c.volume_type == "correlation" and c.volume_reso > 0
-                and c.volume_merge == "auto"):
+                and use_merge):
             # round-5 merged path (ops/volume_merge.py): apply the volume
             # head per stage UNPACKED, resample every stage onto one
             # (merge_depth, H, W) grid, concatenate channels + summed

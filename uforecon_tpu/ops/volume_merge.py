@@ -117,7 +117,11 @@ def merge_stage_volumes(
         w = r[..., -1:]
         wsum = w if wsum is None else wsum + w
     merged = jnp.concatenate(feats + [wsum], axis=-1)
-    return pack_volume_corners(merged, corner_pad=corner_pad).astype(dtype)
+    # cast BEFORE corner-packing: packing in f32 materializes an 8x
+    # (D, H, W, 8C') f32 transient (4.9 GB at D=12 production res — the
+    # OOM that capped merge_depth at 8 in the first round-5 sweep); the
+    # pack itself is shifts/pads, identical in bf16
+    return pack_volume_corners(merged.astype(dtype), corner_pad=corner_pad)
 
 
 def query_merged_volume(packed: jnp.ndarray, xyz: jnp.ndarray,
