@@ -200,6 +200,10 @@ def main():
     ap.add_argument("--mvs_steps", type=int, default=120)
     ap.add_argument("--render_steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--dtype", default="float32",
+                    help="compute_dtype: the bfloat16 row is the "
+                         "reference-AMP-parity train config (BASELINE.md "
+                         "round 5); this gates its learning end-to-end")
     ap.add_argument("--logdir", type=str, default="/tmp/learn_sanity")
     ap.add_argument("--mesh_eval", action="store_true",
                     help="also TSDF-fuse all views and score the mesh "
@@ -223,6 +227,7 @@ def main():
         train_n_view=args.n_src + 1,
         uforecon_lr=args.lr,
         volume_type="correlation",
+        compute_dtype=args.dtype,
         logdir=args.logdir,
         exp_name="sanity",
         max_epochs=1,

@@ -155,6 +155,7 @@ def test_sharded_train_grads_match_single_device(rng):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_render_depth_view_async_matches_sync():
     """The overlap pair (render_depth_view_async + finalize_depth_view)
     must produce bit-identical outputs to the synchronous path (same key,

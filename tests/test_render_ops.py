@@ -209,7 +209,9 @@ def test_config_validates_enum_knobs():
 
     from uforecon_tpu.config import Config
 
-    Config(volume_brick="auto")  # valid values still construct
+    # valid values still construct (brick needs the exact per-stage
+    # path, which volume_merge="never" selects)
+    Config(volume_brick="auto", volume_merge="never")
     for field in ("volume_brick", "fused_similarity",
                   "fused_volume_fusion", "brick_kernel"):
         with _pytest.raises(ValueError):

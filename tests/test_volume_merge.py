@@ -137,6 +137,7 @@ def test_merged_close_on_smooth_volumes_at_real_stage_shapes():
     assert err.max() < 0.3, err.max()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("merge", ["never", "auto"])
 def test_model_render_with_volume_merge(merge):
     """Model-level: volume_merge='auto' encodes one merged volume and
@@ -171,6 +172,7 @@ def test_config_rejects_merge_plus_brick():
         Config(volume_merge="auto", volume_brick="auto")
 
 
+@pytest.mark.slow
 def test_merge_auto_is_eval_only():
     """'auto' must leave the TRAINING path on exact per-stage volumes
     (extract_geometry=False): training through the merged resample was

@@ -214,7 +214,7 @@ class Config:
             "fused_volume_fusion": ("auto", "always", "never"),
             "brick_kernel": ("gather", "mxu"),
             "volume_merge": ("auto", "always", "never"),
-            "warp_pad": ("off", "stage3", "stage23"),
+            "warp_pad": ("off", "stage3", "stage23", "stage3ns"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
             "kernel_precision": ("highest", "high", "fast"),
@@ -287,6 +287,8 @@ def perf_env_overrides() -> dict:
     if "UFO_WARP_PAD" in os.environ or "UFO_WARP_PAD2" in os.environ:
         if os.environ.get("UFO_WARP_PAD2", "0") == "1":
             out["warp_pad"] = "stage23"
+        elif os.environ.get("UFO_WARP_PAD", "1") == "ns":
+            out["warp_pad"] = "stage3ns"
         elif os.environ.get("UFO_WARP_PAD", "1") == "1":
             out["warp_pad"] = "stage3"
         else:

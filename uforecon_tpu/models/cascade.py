@@ -162,8 +162,13 @@ def _correlate_chunked(
     # pack 2x2 bilinear corners once (chunk-invariant): each warp sample is
     # then ONE 4C-row gather in the TPU-fast gather form
     pad = (32 if (c == 8 and src_feats.dtype == jnp.float32
-                  and warp_pad in ("stage3", "stage23"))
+                  and warp_pad in ("stage3", "stage23", "stage3ns"))
            else None)
+    # 'stage3ns': skip the c_out slice after the padded gather and take the
+    # correlation mean over the full 32 padded lanes against a zero-padded
+    # (chunk-invariant, hoisted) ref instead — probes whether the slice's
+    # relayout is part of the 0.91 s/step formatting bucket
+    noslice = pad is not None and warp_pad == "stage3ns"
     if (pad is None and c == 16 and src_feats.dtype == jnp.float32
             and warp_pad == "stage23"):
         pad = 32  # stage-2 probe: 64-lane rows -> 128 (measured-off default)
@@ -187,6 +192,14 @@ def _correlate_chunked(
                 align_corners=True, padding_mode="zeros",
             )
             return corr.reshape(v, dc, h, w, 1) / c
+        if noslice:
+            warped = grid_sample_2d_packed(
+                packed, grids.reshape(v, dc * h * w, 2),
+                align_corners=True, padding_mode="zeros", c_out=None,
+            ).reshape(v, dc, h, w, pad)
+            ref_pad = jnp.pad(ref_feat, ((0, 0), (0, 0), (0, pad - c)))
+            return jnp.sum(warped * ref_pad[None, None], axis=-1,
+                           keepdims=True) / c
         warped = grid_sample_2d_packed(
             packed, grids.reshape(v, dc * h * w, 2),
             align_corners=True, padding_mode="zeros", c_out=c if pad else None,
