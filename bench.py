@@ -27,7 +27,7 @@ def main():
     h = int(os.environ.get("BENCH_H", 640))
     w = int(os.environ.get("BENCH_W", 800))
     n_views = int(os.environ.get("BENCH_VIEWS", 3))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1024))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or None
 
     import jax
 

@@ -201,3 +201,55 @@ def test_merge_auto_is_eval_only():
         variables = _jax.jit(model.init)(key, scene, rays, key)
         enc = model.bind(variables).encode(scene)
         assert set(enc.volumes.keys()) == expect, (extract, merge_mode)
+
+
+def test_image_row_merge_sim_bitexact_and_img_convention():
+    """The shared image row must leave the similarity features BIT-equal to
+    query_similarity (same maps, same row prefix) and sample the image
+    features with the pair maps' align_corners=True/border convention."""
+    from uforecon_tpu.models.ray_transformer import (
+        query_similarity, query_similarity_with_image_row)
+    from uforecon_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                              pack_image_corners)
+    from uforecon_tpu.ops.camera import project_points_ndc
+
+    rng = np.random.default_rng(5)
+    nv, hh, ww, c = 3, 12, 16, 32
+    n_pairs = nv * (nv - 1) // 2
+    aug0 = jnp.asarray(rng.standard_normal((n_pairs, hh, ww, c)), jnp.float32)
+    aug1 = jnp.asarray(rng.standard_normal((n_pairs, hh, ww, c)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((nv, hh, ww, c)), jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * nv))
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, (9, 4, 3)).astype(np.float32))
+
+    sim_ref, xy_ref, valid_ref = query_similarity(
+        pts, poses, aug0, aug1, nv, fused="never")
+    sim, img, xy, valid = query_similarity_with_image_row(
+        pts, poses, aug0, aug1, feats, nv, fused="never")
+    np.testing.assert_array_equal(np.asarray(sim), np.asarray(sim_ref))
+    np.testing.assert_array_equal(np.asarray(xy), np.asarray(xy_ref))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+
+    img_ref = grid_sample_2d_packed(pack_image_corners(feats), xy,
+                                    align_corners=True,
+                                    padding_mode="border")
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img_ref))
+
+
+@pytest.mark.slow
+def test_model_render_with_image_row_merge():
+    from helpers import make_synthetic_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+
+    cfg = Config(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
+                 coarse_sample=8, fine_sample=8, test_sample_coarse=8,
+                 test_sample_fine=8, volume_type="correlation",
+                 extract_geometry=True, image_row_merge="auto")
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=32)
+    model = UFORecon(cfg)
+    key = jax.random.PRNGKey(0)
+    rays = extras["ray_d"][:32]
+    variables = jax.jit(model.init)(key, scene, rays, key)
+    out = jax.jit(model.apply)(variables, scene, rays, key)
+    assert np.all(np.isfinite(np.asarray(out["fine"]["depth"])))

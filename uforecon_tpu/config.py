@@ -187,6 +187,13 @@ class Config:
     # 2.80% -> 3.21%, comp 1.81% -> 2.05% of radius (mesh_pass both).
     # 'never' restores the reference-exact per-stage sampling.
     volume_merge: str = "auto"           # auto | always | never
+    # Shared similarity+image gather row (round 5): the pair maps and FPN
+    # image features are fetched in ONE row per view-point on the eval
+    # path ('auto'; eval-only like volume_merge). Approximation: the image
+    # features adopt the pair maps' align_corners=True/border sampling
+    # (sub-half-pixel shift at 1/4 res). Measured on-chip A/B + learn_
+    # sanity gate in BASELINE.md round 5.
+    image_row_merge: str = "never"       # auto | never
     merge_depth: int = 0                 # common-grid z-bins; 0 = ndepths[-1]
     merge_pad: bool = False              # pad packed rows 200 -> 256 lanes
     # tile 16 / 4 slabs measured best in the on-chip query sweep
@@ -214,6 +221,7 @@ class Config:
             "fused_volume_fusion": ("auto", "always", "never"),
             "brick_kernel": ("gather", "mxu"),
             "volume_merge": ("auto", "always", "never"),
+            "image_row_merge": ("auto", "never"),
             "warp_pad": ("off", "stage3", "stage23", "stage3ns"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
@@ -305,6 +313,8 @@ def perf_env_overrides() -> dict:
         out["kernel_precision"] = os.environ["UFO_KERNEL_PRECISION"].lower()
     if "UFO_VOLUME_MERGE" in os.environ:
         out["volume_merge"] = os.environ["UFO_VOLUME_MERGE"]
+    if "UFO_IMAGE_ROW" in os.environ:
+        out["image_row_merge"] = os.environ["UFO_IMAGE_ROW"]
     if "UFO_MERGE_DEPTH" in os.environ:
         out["merge_depth"] = int(os.environ["UFO_MERGE_DEPTH"])
     return out

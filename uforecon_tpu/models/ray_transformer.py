@@ -199,8 +199,22 @@ def query_similarity(
         f"explicit similarity needs >= 2 source views, got {n_views}")
     xy, _, valid = project_points_ndc(source_poses, points)
 
+    merged, slots, pairs = build_pair_maps(aug0, aug1, n_views, pair_quirk)
+    # one packed row of 4 corners x (NV-1)C values per view-point
+    sampled = grid_sample_2d_packed(pack_image_corners(merged), xy,
+                                    align_corners=True,
+                                    padding_mode="border")  # (NV, ..., (NV-1)C)
+    feat = _pair_cosines(sampled, slots, pairs, n_views, aug0.shape[-1],
+                         n_groups, fused)
+    return feat, xy, valid
+
+
+def build_pair_maps(aug0, aug1, n_views, pair_quirk=True):
+    """Per-view channel-concat of every pair map the view participates in
+    (the one-row-per-view-point layout query_similarity samples).
+
+    Returns (merged (NV, h, w, (NV-1)C), slots, pairs)."""
     pairs = [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
-    c = aug0.shape[-1]
     slots = [[] for _ in range(n_views)]
     maps = [[] for _ in range(n_views)]
     for p, (i, j) in enumerate(pairs):
@@ -209,19 +223,20 @@ def query_similarity(
         slots[j].append((1, p))
         maps[j].append(aug0[p] if pair_quirk else aug1[p])
     merged = jnp.stack([jnp.concatenate(m, axis=-1) for m in maps])
-    # one packed row of 4 corners x (NV-1)C values per view-point
-    sampled = grid_sample_2d_packed(pack_image_corners(merged), xy,
-                                    align_corners=True,
-                                    padding_mode="border")  # (NV, ..., (NV-1)C)
+    return merged, slots, pairs
 
+
+def _pair_cosines(sampled, slots, pairs, n_views, c, n_groups, fused):
+    """Grouped pairwise cosines over sampled pair-map rows (the tail of
+    query_similarity, factored out so the shared-image-row path can reuse
+    it on its slice of a combined gather row)."""
     lead = sampled.shape[1:-1]
     if fused == "always" or (fused == "auto"
                              and jax.default_backend() == "tpu"):
         from ..ops.fused_similarity import grouped_cosine
 
         flat = sampled.reshape(n_views, -1, sampled.shape[-1])
-        feat = grouped_cosine(flat, n_groups).reshape(*lead, n_groups)
-        return feat, xy, valid
+        return grouped_cosine(flat, n_groups).reshape(*lead, n_groups)
 
     def view_slot(v, key):
         k = slots[v].index(key)
@@ -236,7 +251,52 @@ def query_similarity(
         nj = jnp.sqrt(jnp.sum(gj * gj, axis=-1))
         # torch CosineSimilarity clamps the denominator at eps=1e-8
         cos_all.append(dot / jnp.maximum(ni * nj, 1e-8))
-    return jnp.mean(jnp.stack(cos_all), axis=0), xy, valid
+    return jnp.mean(jnp.stack(cos_all), axis=0)
+
+
+def query_similarity_with_image_row(
+    points: jnp.ndarray,
+    source_poses: jnp.ndarray,
+    aug0: jnp.ndarray,
+    aug1: jnp.ndarray,
+    source_feats: jnp.ndarray,   # (NV, h, w, Ci) — same resolution as aug maps
+    n_views: int,
+    n_groups: int = 8,
+    pair_quirk: bool = True,
+    fused: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """query_similarity + the per-point image-feature fetch in ONE gather
+    row per view-point (Config.image_row_merge; round-5).
+
+    The pair maps and the FPN image features live at the same (h1, w1)
+    resolution and are sampled at the same projections, and gather cost is
+    per ROW (width-independent to ~256 lanes, script/bench_wide_gather.py)
+    — so concatenating them makes the image-feature fetch ride the
+    similarity row for ~the cost of one. The image features are then
+    sampled with the pair maps' convention (align_corners=True, border)
+    instead of the reference's align=False/zeros — a sub-half-pixel
+    sampling shift at 1/4 resolution plus edge clamping, which is the
+    documented metric-parity approximation of this knob (the validity
+    mask still zeroes out-of-frustum views downstream).
+
+    Returns (sim_feat, img_feat, xy, valid).
+    """
+    from ..ops.camera import project_points_ndc
+
+    assert n_views >= 2
+    xy, _, valid = project_points_ndc(source_poses, points)
+    merged, slots, pairs = build_pair_maps(aug0, aug1, n_views, pair_quirk)
+    c_sim = merged.shape[-1]
+    combo = jnp.concatenate(
+        [merged, source_feats.astype(merged.dtype)], axis=-1)
+    sampled = grid_sample_2d_packed(pack_image_corners(combo), xy,
+                                    align_corners=True,
+                                    padding_mode="border")
+    sim_part = sampled[..., :c_sim]
+    img_feat = sampled[..., c_sim:]
+    feat = _pair_cosines(sim_part, slots, pairs, n_views, aug0.shape[-1],
+                         n_groups, fused)
+    return feat, img_feat, xy, valid
 
 
 class RayTransformer(nn.Module):
@@ -319,6 +379,11 @@ class RayTransformer(nn.Module):
         fea_volume_feat: Optional[jnp.ndarray] = None,  # (RN, SN, Dv)
         sim_feat: Optional[jnp.ndarray] = None,         # (RN, SN, 8)
         mvs_depths: Optional[jnp.ndarray] = None,       # (NV, H, W)
+        img_feat: Optional[jnp.ndarray] = None,         # (NV, RN, SN, C):
+                                         # pre-sampled by the shared
+                                         # image-row gather (round-5
+                                         # image_row_merge); None = sample
+                                         # source_feats here
     ) -> Dict[str, jnp.ndarray]:
         """Per-point stage. Returns ``token`` (RN, SN, C) — the view-token
         output consumed by ``along_ray`` — and ``radiance`` (RN, SN, 3)."""
@@ -337,8 +402,9 @@ class RayTransformer(nn.Module):
         # in-bounds mask is the validity signal — ray_transformer.py:222-254)
         # corner-packed gathers (packing is chunk-invariant: XLA hoists it
         # out of the render chunk loop); rgb||depth-guide share one row
-        img_feat = grid_sample_2d_packed(
-            pack_image_corners(source_feats), points_xy)    # (NV, RN, SN, C)
+        if img_feat is None:
+            img_feat = grid_sample_2d_packed(
+                pack_image_corners(source_feats), points_xy)  # (NV, RN, SN, C)
         rgb_src = source_imgs
         if mvs_depths is not None:
             # rgb and the depth guide live at the same full resolution and

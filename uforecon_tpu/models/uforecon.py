@@ -250,7 +250,24 @@ class UFORecon(nn.Module):
 
         sim_feat = None
         xy = valid = None
-        if c.explicit_similarity:
+        img_feat_pre = None
+        # round-5 shared image row: the pair maps and the FPN features live
+        # at the same resolution and sample at the same projections, so one
+        # combined gather row fetches both (image_row_merge, eval-only —
+        # the image features then carry the pair maps' align_corners=True/
+        # border convention, the knob's documented approximation)
+        use_img_row = (c.image_row_merge == "auto" and c.extract_geometry
+                       and c.explicit_similarity
+                       and enc.source_feats.shape[1:3] == enc.aug0.shape[1:3])
+        if use_img_row:
+            from .ray_transformer import query_similarity_with_image_row
+
+            sim_feat, img_feat_pre, xy, valid = query_similarity_with_image_row(
+                points, scene.source_poses, enc.aug0, enc.aug1,
+                enc.source_feats, nv, n_groups=c.cos_n_group,
+                pair_quirk=c.sim_pair_quirk, fused=c.fused_similarity,
+            )
+        elif c.explicit_similarity:
             sim_feat, xy, valid = query_similarity(
                 points, scene.source_poses, enc.aug0, enc.aug1, nv,
                 n_groups=c.cos_n_group, pair_quirk=c.sim_pair_quirk,
@@ -289,6 +306,7 @@ class UFORecon(nn.Module):
             fea_volume_feat=fea_volume_feat,
             sim_feat=sim_feat,
             mvs_depths=mvs_depths,
+            img_feat=img_feat_pre,
         )
 
     def _render_sequence(self, z_val: jnp.ndarray,

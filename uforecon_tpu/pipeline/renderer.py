@@ -32,10 +32,17 @@ class SceneRenderer:
         self.variables = variables
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.n_dev = self.mesh.devices.size
-        # pad the reference's 800-ray chunks up to a TPU-friendly multiple
-        self.chunk = chunk if chunk is not None else max(
-            1024, int(np.ceil(cfg.test_ray_num / 256)) * 256
-        )
+        # pad the reference's 800-ray chunks up to a TPU-friendly multiple.
+        # Default 512 since the round-5 merged-volume default shrank the
+        # per-chunk working set (on-chip sweep at 800x640/64+64: 256 ->
+        # 33.0k, 512 -> 36.6k, 768 -> 34.8k, 1024 -> 35.5k, 2048 -> 34.3k
+        # rays/s); the exact per-stage path measured best at 1024
+        # (round-1/2 sweeps) — pass chunk= explicitly to override.
+        if chunk is not None:
+            self.chunk = chunk
+        else:
+            base = 512 if cfg.volume_merge != "never" else 1024
+            self.chunk = max(base, int(np.ceil(cfg.test_ray_num / 256)) * 256)
         self._encode = jax.jit(
             lambda v, s: self.model.apply(v, s, method=self.model.encode)
         )
