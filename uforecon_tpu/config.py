@@ -194,6 +194,11 @@ class Config:
     # (sub-half-pixel shift at 1/4 res). Measured on-chip A/B + learn_
     # sanity gate in BASELINE.md round 5.
     image_row_merge: str = "never"       # auto | never
+    # NeuS compositing fused into the along-ray Pallas kernel's epilogue
+    # (round-5 probe, VERDICT r4 #3): lane shifts / exclusive-cumprod as
+    # exact-valued in-kernel matmuls; reference backward. Measured A/B in
+    # BASELINE.md round 5.
+    fused_neus_epilogue: str = "never"   # auto | never
     merge_depth: int = 0                 # common-grid z-bins; 0 = ndepths[-1]
     merge_pad: bool = False              # pad packed rows 200 -> 256 lanes
     # tile 16 / 4 slabs measured best in the on-chip query sweep
@@ -222,6 +227,7 @@ class Config:
             "brick_kernel": ("gather", "mxu"),
             "volume_merge": ("auto", "always", "never"),
             "image_row_merge": ("auto", "never"),
+            "fused_neus_epilogue": ("auto", "never"),
             "warp_pad": ("off", "stage3", "stage23", "stage3ns"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
@@ -315,6 +321,8 @@ def perf_env_overrides() -> dict:
         out["volume_merge"] = os.environ["UFO_VOLUME_MERGE"]
     if "UFO_IMAGE_ROW" in os.environ:
         out["image_row_merge"] = os.environ["UFO_IMAGE_ROW"]
+    if "UFO_NEUS_EPILOGUE" in os.environ:
+        out["fused_neus_epilogue"] = os.environ["UFO_NEUS_EPILOGUE"]
     if "UFO_MERGE_DEPTH" in os.environ:
         out["merge_depth"] = int(os.environ["UFO_MERGE_DEPTH"])
     return out

@@ -605,6 +605,37 @@ class RayTransformer(nn.Module):
         y = self.density_ray_transformer(y)
         return self.density_mlp(y)[..., 0]
 
+    def along_ray_neus(self, token, z_val, radiance, inv_s):
+        """along_ray + NeuS compositing through the fused epilogue kernel
+        (round-5 probe, ops/fused_ray_head.ray_head_neus). Caller must have
+        checked _fused_ray_ok(). Returns the neus_render output dict."""
+        from ..ops.fused_ray_head import RayHeadParams, ray_head_neus
+
+        rn, sn, _ = token.shape
+        pe_order = jnp.asarray(order_posenc(self.pe_d_hid, sn), token.dtype)
+        y = jnp.concatenate(
+            [token, jnp.broadcast_to(pe_order[None], (rn, sn, self.pe_d_hid))],
+            axis=-1,
+        )
+        lv = self.density_ray_transformer.variables["params"]["layer_0"]
+        dp = self.density_mlp.variables["params"]
+        params = RayHeadParams(
+            wq=lv["q_proj"]["kernel"], wk=lv["k_proj"]["kernel"],
+            wv=lv["v_proj"]["kernel"], wmerge=lv["merge"]["kernel"],
+            norm1_scale=lv["norm1"]["scale"], norm1_bias=lv["norm1"]["bias"],
+            w1=lv["mlp1"]["kernel"], w2=lv["mlp2"]["kernel"],
+            norm2_scale=lv["norm2"]["scale"], norm2_bias=lv["norm2"]["bias"],
+            dens_w=(dp["Dense_0"]["kernel"], dp["Dense_1"]["kernel"],
+                    dp["Dense_2"]["kernel"]),
+            dens_b=(dp["Dense_0"]["bias"], dp["Dense_1"]["bias"],
+                    dp["Dense_2"]["bias"]),
+        )
+        srdf, weight, rgb, depth, opacity = ray_head_neus(
+            y.astype(jnp.float32), z_val.astype(jnp.float32),
+            radiance.astype(jnp.float32), inv_s, params, self.n_heads)
+        return {"rgb": rgb, "depth": depth, "opacity": opacity,
+                "weight": weight, "variance": 1.0 / inv_s, "srdf": srdf}
+
     def _fused_ray_ok(self) -> bool:
         """Route along_ray to the fused Pallas kernel? Static per trace."""
         if self.fused == "never" or self.is_initializing():

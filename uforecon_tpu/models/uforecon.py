@@ -313,8 +313,16 @@ class UFORecon(nn.Module):
                          pp: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         """Ray half of sample2rgb (model.py:332-348): ray transformer ->
         SRDF -> NeuS compositing over a z-sorted sample sequence."""
-        srdf = self.ray_transformer.along_ray(pp["token"])
         inv_s = jnp.exp(self.variance * 10.0)
+        c = self.cfg
+        if (c.fused_neus_epilogue == "auto"
+                and self.ray_transformer._fused_ray_ok()):
+            # round-5 probe: NeuS compositing computed in the along-ray
+            # kernel's epilogue (ops/fused_ray_head.ray_head_neus) — same
+            # math, parity-gated, reference backward
+            return self.ray_transformer.along_ray_neus(
+                pp["token"], z_val, pp["radiance"], inv_s)
+        srdf = self.ray_transformer.along_ray(pp["token"])
         out = neus_render(z_val, pp["radiance"], srdf, inv_s)
         out["srdf"] = srdf
         return out
