@@ -84,6 +84,7 @@ def test_gradients_match_reference():
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow  # default-off probe kernel; interpret mode is slow
 def test_ray_head_neus_epilogue_matches_reference(rng):
     """Round-5 probe: the fused NeuS epilogue (in-kernel midpoint
     intervals, sigmoids, log-space exclusive cumprod, reductions) must

@@ -101,6 +101,7 @@ def test_merged_with_corner_pad_matches_unpadded():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(padded))
 
 
+@pytest.mark.slow  # characterization of the re-discretization error
 def test_merged_close_on_smooth_volumes_at_real_stage_shapes():
     """At the production shape ratios (z 48/32/8, xy 1/4 / 1/2 / 1/1) the
     merge re-discretizes the coarse stages; on smooth fields — post-U-Net
