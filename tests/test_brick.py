@@ -348,7 +348,8 @@ def test_renderer_brick_plan_end_to_end():
     cfg = Config(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
                  coarse_sample=8, fine_sample=8, test_sample_coarse=8,
                  test_sample_fine=8, volume_type="correlation",
-                 extract_geometry=True, brick_tile=tile, brick_n_seg=N_SEG)
+                 extract_geometry=True, brick_tile=tile, brick_n_seg=N_SEG,
+                 volume_merge="never")  # bricks certify per-stage volumes
     scene, extras = make_synthetic_scene(n_views=2, h=h, w=w, ndepth=16)
     model = UFORecon(cfg)
     key = jax.random.PRNGKey(0)

@@ -393,6 +393,13 @@ CAPSTONE_SPECS = {
     "featuregrid": dict(volume_type="featuregrid", volume_reso=16,
                         mvs_depth_guide=0, depth_pos_encoding=False),
     "views5": dict(n_views=5),
+    # the round-5 merged-volume EVAL path vs the live torch reference —
+    # quantifies the documented re-discretization at loosened tolerance
+    # (the capstone proper pins the exact path with volume_merge='never';
+    # extract_geometry=True would otherwise engage the shipped default)
+    "merged_loose": dict(volume_merge="auto", volume_dtype="float32",
+                         tol_rgb=(0.08, 0.04), tol_depth=(0.04, 0.08),
+                         tol_srdf=(0.10, 0.10)),
     "dir_srdf": dict(use_dir_srdf=True),
     "coarse_only": dict(coarse_only=True),
 }
@@ -407,7 +414,7 @@ def test_render_chunk_matches_reference_infer(ref_env, rng, spec_name):
 def _run_capstone(rng, *, n_views=3, volume_type="correlation",
                   volume_reso=96, mvs_depth_guide=1, depth_pos_encoding=True,
                   use_dir_srdf=False, coarse_only=False,
-                  volume_dtype="bfloat16",
+                  volume_dtype="bfloat16", volume_merge="never",
                   tol_rgb=(0.05, 0.02), tol_depth=(0.02, 0.05),
                   tol_srdf=(0.05, 0.05)):
     import argparse
@@ -514,7 +521,7 @@ def _run_capstone(rng, *, n_views=3, volume_type="correlation",
                  depth_pos_encoding=depth_pos_encoding,
                  use_dir_srdf=use_dir_srdf, test_coarse_only=coarse_only,
                  test_n_view=n_views, volume_dtype=volume_dtype,
-                 fused_point_head="never")
+                 fused_point_head="never", volume_merge=volume_merge)
     sample = make_synthetic_sample(n_views=n_views, h=32, w=32, ndepth=16,
                                    start_idx=0)
     scene, extras = scene_inputs_from_sample(sample)
