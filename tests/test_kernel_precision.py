@@ -16,7 +16,10 @@ assert fused_point_head2.kernel_dot is kernel_dot
 assert fused_ray_head.kernel_dot is kernel_dot
 from uforecon_tpu.config import Config, perf_env_overrides
 cfg = Config(**perf_env_overrides())
-kernel_precision.set_mode(cfg.kernel_precision)
+kp = cfg.kernel_precision
+if kp == "auto":  # resolved at model construction (UFORecon.setup)
+    kp = "fast" if cfg.extract_geometry else "high"
+kernel_precision.set_mode(kp)
 print(kernel_precision.current_mode())
 """
 
@@ -84,7 +87,8 @@ def test_defaults_are_measured_fastest_config():
     from uforecon_tpu.config import Config
 
     cfg = Config()
-    assert cfg.kernel_precision == "high"      # round-3 A/B matrix
+    assert cfg.kernel_precision == "auto"      # round-5: fast on eval,
+    # high in training (round-3 A/B + round-5 fast gate)
     assert cfg.fused_similarity == "never"     # glue kernels off (round 3)
     assert cfg.fused_volume_fusion == "never"
     assert cfg.volume_brick == "never"         # round-4 brick A/B (+0.4%)

@@ -155,9 +155,13 @@ class Config:
     transpose_route: str = "xla"         # xla | mxu
     # Forward matmul precision inside the fused Pallas kernels
     # (ops/kernel_precision.py): 'high' = bf16x3 split (~1e-6 rel error,
-    # parity-gated, 7% faster), 'highest' = exact f32, 'fast' = single
-    # bf16 pass (inference-only; trainer refuses it).
-    kernel_precision: str = "high"       # highest | high | fast
+    # parity-gated), 'highest' = exact f32, 'fast' = single bf16 pass
+    # (inference-only; trainer refuses it; mesh metrics measured IDENTICAL
+    # to 'high' on the trained-ckpt gate, +6% rays/s — BASELINE.md round
+    # 5). 'auto' (default) resolves per process at model construction:
+    # 'fast' on the eval/extract path (extract_geometry=True), 'high'
+    # otherwise; a process mixing both fails loudly in set_mode.
+    kernel_precision: str = "auto"       # auto | highest | high | fast
     # Tile-local correlation-volume gathers for full-image rendering
     # (ops/brick_gather.py + ops/brick_plan.py): rays render in brick_tile^2
     # image tiles and each (tile x along-ray segment) samples a bulk-copied
@@ -231,7 +235,7 @@ class Config:
             "warp_pad": ("off", "stage3", "stage23", "stage3ns"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
-            "kernel_precision": ("highest", "high", "fast"),
+            "kernel_precision": ("auto", "highest", "high", "fast"),
         }
         for field, values in allowed.items():
             v = getattr(self, field)

@@ -76,7 +76,13 @@ class UFORecon(nn.Module):
         # pin the fused kernels' forward-dot precision from the typed config
         # (round-5 env-knob fold); a conflicting later mode raises loudly
         from ..ops import kernel_precision
-        kernel_precision.set_mode(c.kernel_precision)
+        kp = c.kernel_precision
+        if kp == "auto":
+            # eval/extract runs single-pass bf16 forward dots (mesh gate
+            # measured identical to 'high'; +6% rays/s); training keeps
+            # the bf16x3 split whose fwd/bwd consistency is grad-gated
+            kp = "fast" if c.extract_geometry else "high"
+        kernel_precision.set_mode(kp)
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # mixed policy: the frozen matcher may run bf16 while the trained,
         # precision-sensitive render head stays f32 (config.encoder_dtype)
