@@ -156,3 +156,33 @@ def test_bf16x3_numerics():
     r = json.loads(out.stdout.strip().splitlines()[-1])
     assert r["rel"] < 5e-6, r
     assert r["rel"] < r["rel_bf16"] / 100, r  # orders better than 1x bf16
+
+
+def test_auto_mode_train_then_eval_does_not_crash():
+    """'auto' resolves to 'high' in training and 'fast' on the eval path,
+    but never overrides a mode kernels already traced under — a process
+    that trains then builds an eval renderer must keep 'high', not crash."""
+    probe = """
+from uforecon_tpu.ops import kernel_precision as kp
+from uforecon_tpu.config import Config
+
+def resolve(cfg):
+    m = cfg.kernel_precision
+    if m == "auto":
+        m = "fast" if cfg.extract_geometry else "high"
+        if kp.consumed():
+            m = kp.current_mode()
+    return m
+
+kp.set_mode(resolve(Config()))          # training process -> high
+assert kp.get_mode() == "high"          # a kernel traces
+m2 = resolve(Config(extract_geometry=True))  # then an eval renderer
+kp.set_mode(m2)                         # must NOT raise
+print(kp.current_mode())
+"""
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu", UFO_PLATFORM="cpu")
+    out = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                         text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "high"

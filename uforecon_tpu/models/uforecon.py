@@ -80,8 +80,13 @@ class UFORecon(nn.Module):
         if kp == "auto":
             # eval/extract runs single-pass bf16 forward dots (mesh gate
             # measured identical to 'high'; +6% rays/s); training keeps
-            # the bf16x3 split whose fwd/bwd consistency is grad-gated
+            # the bf16x3 split whose fwd/bwd consistency is grad-gated.
+            # 'auto' never overrides a mode kernels already traced under
+            # (a train-then-eval process keeps the training mode rather
+            # than crashing); an EXPLICIT conflicting mode still raises.
             kp = "fast" if c.extract_geometry else "high"
+            if kernel_precision.consumed():
+                kp = kernel_precision.current_mode()
         kernel_precision.set_mode(kp)
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # mixed policy: the frozen matcher may run bf16 while the trained,

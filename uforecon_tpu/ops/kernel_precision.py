@@ -74,6 +74,12 @@ def current_mode() -> str:
     return _mode
 
 
+def consumed() -> bool:
+    """Has any kernel traced under the current mode yet? (Used by the
+    Config 'auto' resolution: auto never overrides a traced mode.)"""
+    return _consumed
+
+
 def get_mode() -> str:
     """Trace-time read used by kernel bodies; pins the mode for the process
     so a later conflicting set_mode fails loudly."""
