@@ -128,6 +128,11 @@ def main():
         "brick": plan is not None,
         # whether the merged-stage-volume path ran (Config.volume_merge)
         "merge": cfg.volume_merge == "auto",
+        # resolved fused-kernel forward precision actually used
+        # ('auto' -> 'fast' on this eval path; see config.kernel_precision)
+        "kernel_precision": __import__(
+            "uforecon_tpu.ops.kernel_precision",
+            fromlist=["current_mode"]).current_mode(),
     }))
 
 
