@@ -254,3 +254,30 @@ def test_model_render_with_image_row_merge():
     variables = jax.jit(model.init)(key, scene, rays, key)
     out = jax.jit(model.apply)(variables, scene, rays, key)
     assert np.all(np.isfinite(np.asarray(out["fine"]["depth"])))
+
+
+@pytest.mark.slow
+def test_merge_auto_memory_guard_falls_back_to_exact():
+    """'auto' must fall back to the exact per-stage path when the merged
+    volume's static size exceeds merge_max_bytes (4-5 views at full eval
+    resolution measured OOM on 16 GB v5e)."""
+    from helpers import make_synthetic_scene
+    from uforecon_tpu.config import Config
+    from uforecon_tpu.models.uforecon import UFORecon
+    import jax as _jax
+
+    scene, extras = make_synthetic_scene(n_views=3, h=32, w=32, ndepth=32)
+    base = dict(ndepths=(8, 8, 8), fmt_layer_names=("self", "cross"),
+                coarse_sample=8, fine_sample=8, test_sample_coarse=8,
+                test_sample_fine=8, volume_type="correlation",
+                extract_geometry=True, volume_merge="auto")
+    key = _jax.random.PRNGKey(0)
+    rays = extras["ray_d"][:16]
+    # tiny budget -> exact; ample budget -> merged
+    for budget, expect in [(1024, {"stage1", "stage2", "stage3"}),
+                           (1 << 30, {"merged"})]:
+        cfg = Config(**base, merge_max_bytes=budget)
+        model = UFORecon(cfg)
+        variables = _jax.jit(model.init)(key, scene, rays, key)
+        enc = model.bind(variables).encode(scene)
+        assert set(enc.volumes.keys()) == expect, budget

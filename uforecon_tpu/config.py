@@ -191,6 +191,12 @@ class Config:
     # 2.80% -> 3.21%, comp 1.81% -> 2.05% of radius (mesh_pass both).
     # 'never' restores the reference-exact per-stage sampling.
     volume_merge: str = "auto"           # auto | always | never
+    # 'auto' falls back to the exact per-stage path when the merged
+    # volume's packed bytes would exceed this budget (static shapes, so
+    # decided at trace time): NV*D_m*H*W*200 ch. 3 views @ 800x640 is
+    # 4.9 GB (fits 16 GB v5e beside sources + workspace); 4 views = 6.6 GB
+    # measured OOM. 0 disables the guard.
+    merge_max_bytes: int = 6 << 30
     # Shared similarity+image gather row (round 5): the pair maps and FPN
     # image features are fetched in ONE row per view-point on the eval
     # path ('auto'; eval-only like volume_merge). Approximation: the image

@@ -153,6 +153,17 @@ class UFORecon(nn.Module):
         # 'always' forces the merge in training too (research knob).
         use_merge = (c.volume_merge == "always"
                      or (c.volume_merge == "auto" and c.extract_geometry))
+        if use_merge and c.volume_merge == "auto" and c.merge_max_bytes:
+            # static-shape HBM guard: 'auto' falls back to the exact path
+            # when the merged volume would not fit (e.g. 4-5 source views
+            # at full eval resolution on a 16 GB chip — measured OOM)
+            nv = scene.source_imgs.shape[0]
+            d_m = c.merge_depth or c.ndepths[-1]
+            c_pack = 8 * (32 if c.merge_pad else 8 * len(c.ndepths) + 1)
+            bytes_ = (nv * d_m * h * w * c_pack
+                      * (4 if c.volume_dtype == "float32" else 2))
+            if bytes_ > c.merge_max_bytes:
+                use_merge = False
         if (c.volume_type == "correlation" and c.volume_reso > 0
                 and use_merge):
             # round-5 merged path (ops/volume_merge.py): apply the volume
