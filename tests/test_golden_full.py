@@ -521,7 +521,8 @@ def _run_capstone(rng, *, n_views=3, volume_type="correlation",
                  depth_pos_encoding=depth_pos_encoding,
                  use_dir_srdf=use_dir_srdf, test_coarse_only=coarse_only,
                  test_n_view=n_views, volume_dtype=volume_dtype,
-                 fused_point_head="never", volume_merge=volume_merge)
+                 fused_point_head="never", volume_merge=volume_merge,
+                 image_gather_dtype="float32")  # capstone pins exact sources
     sample = make_synthetic_sample(n_views=n_views, h=32, w=32, ndepth=16,
                                    start_idx=0)
     scene, extras = scene_inputs_from_sample(sample)

@@ -99,6 +99,9 @@ def test_defaults_are_measured_fastest_config():
     assert cfg.volume_remat is True            # remat-off OOMs on 16G v5e
     assert cfg.point_head == "v1"              # 29.5k vs 26.0k rays/s (r2)
     assert cfg.transpose_route == "xla"        # mxu = 2.2x regression (r4)
+    assert cfg.image_gather_dtype == "bfloat16"  # r5: +9%, mesh gate identical
+    assert cfg.fused_neus_epilogue == "never"  # r5 probe: 32.1k regression
+    assert cfg.image_row_merge == "never"      # r5 probe: 33.8k regression
 
 
 def test_no_env_reads_in_model_and_ops_code():

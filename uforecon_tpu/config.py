@@ -209,6 +209,14 @@ class Config:
     # exact-valued in-kernel matmuls; reference backward. Measured A/B in
     # BASELINE.md round 5.
     fused_neus_epilogue: str = "never"   # auto | never
+    # Storage dtype of the corner-packed IMAGE-space gather sources (pair
+    # maps, FPN features, rgb||depth) on the eval path. These gathers are
+    # cache-BANDWIDTH-bound (unlike the issue-bound volume rows), so bf16
+    # halves their bytes; values round ~1e-3 rel (metric-parity knob,
+    # measured in BASELINE.md round 5: +9% rays/s, trained-ckpt mesh gate
+    # IDENTICAL to f32 sources). Eval-only; training keeps f32; goldens
+    # pin 'float32'.
+    image_gather_dtype: str = "bfloat16"  # float32 | bfloat16
     merge_depth: int = 0                 # common-grid z-bins; 0 = ndepths[-1]
     merge_pad: bool = False              # pad packed rows 200 -> 256 lanes
     # tile 16 / 4 slabs measured best in the on-chip query sweep
@@ -238,6 +246,7 @@ class Config:
             "volume_merge": ("auto", "always", "never"),
             "image_row_merge": ("auto", "never"),
             "fused_neus_epilogue": ("auto", "never"),
+            "image_gather_dtype": ("float32", "bfloat16"),
             "warp_pad": ("off", "stage3", "stage23", "stage3ns"),
             "point_head": ("v1", "v2"),
             "transpose_route": ("xla", "mxu"),
@@ -333,6 +342,8 @@ def perf_env_overrides() -> dict:
         out["image_row_merge"] = os.environ["UFO_IMAGE_ROW"]
     if "UFO_NEUS_EPILOGUE" in os.environ:
         out["fused_neus_epilogue"] = os.environ["UFO_NEUS_EPILOGUE"]
+    if "UFO_IMG_GATHER_DTYPE" in os.environ:
+        out["image_gather_dtype"] = os.environ["UFO_IMG_GATHER_DTYPE"]
     if "UFO_MERGE_DEPTH" in os.environ:
         out["merge_depth"] = int(os.environ["UFO_MERGE_DEPTH"])
     return out

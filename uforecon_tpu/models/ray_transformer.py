@@ -159,6 +159,7 @@ def query_similarity(
     n_groups: int = 8,
     pair_quirk: bool = True,
     fused: str = "auto",
+    source_dtype=None,   # e.g. jnp.bfloat16: cast the packed gather source
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Explicit pairwise feature similarity (reference model.py:218-305).
 
@@ -201,9 +202,13 @@ def query_similarity(
 
     merged, slots, pairs = build_pair_maps(aug0, aug1, n_views, pair_quirk)
     # one packed row of 4 corners x (NV-1)C values per view-point
-    sampled = grid_sample_2d_packed(pack_image_corners(merged), xy,
+    packed = pack_image_corners(merged)
+    if source_dtype is not None:
+        packed = packed.astype(source_dtype)
+    sampled = grid_sample_2d_packed(packed, xy,
                                     align_corners=True,
-                                    padding_mode="border")  # (NV, ..., (NV-1)C)
+                                    padding_mode="border"
+                                    ).astype(merged.dtype)  # (NV, ..., (NV-1)C)
     feat = _pair_cosines(sampled, slots, pairs, n_views, aug0.shape[-1],
                          n_groups, fused)
     return feat, xy, valid
@@ -329,6 +334,9 @@ class RayTransformer(nn.Module):
     # fused kernel layout + formatting route; see config.py docs
     point_head: str = "v1"          # v1 | v2
     transpose_route: str = "xla"    # xla | mxu
+    # resolved by UFORecon.setup: 'bfloat16' halves the bytes of the
+    # cache-bandwidth-bound image gathers on the eval path (see config)
+    image_gather_dtype: str = "float32"
     # full-feature f32 config, pure flax otherwise; 'always'/'never' force
     # (tests run 'always' through the interpreter)
     fused: str = "auto"
@@ -402,9 +410,20 @@ class RayTransformer(nn.Module):
         # in-bounds mask is the validity signal — ray_transformer.py:222-254)
         # corner-packed gathers (packing is chunk-invariant: XLA hoists it
         # out of the render chunk loop); rgb||depth-guide share one row
+        gdt = (jnp.bfloat16 if self.image_gather_dtype == "bfloat16"
+               else None)
+
+        def src(x):
+            # bf16 gather SOURCES halve the bytes of these cache-bandwidth-
+            # bound gathers; rows promote back to f32 in the bilinear
+            # combine (weights are f32)
+            p = pack_image_corners(x)
+            return p.astype(gdt) if gdt is not None else p
+
         if img_feat is None:
             img_feat = grid_sample_2d_packed(
-                pack_image_corners(source_feats), points_xy)  # (NV, RN, SN, C)
+                src(source_feats), points_xy)               # (NV, RN, SN, C)
+            img_feat = img_feat.astype(source_feats.dtype)
         rgb_src = source_imgs
         if mvs_depths is not None:
             # rgb and the depth guide live at the same full resolution and
@@ -412,7 +431,7 @@ class RayTransformer(nn.Module):
             rgb_src = jnp.concatenate(
                 [source_imgs, mvs_depths[..., None]], axis=-1)
         rgbd = grid_sample_2d_packed(
-            pack_image_corners(rgb_src), points_xy)         # (NV, RN, SN, 3[+1])
+            src(rgb_src), points_xy).astype(rgb_src.dtype)  # (NV, RN, SN, 3[+1])
         img_rgb = rgbd[..., :3]
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 

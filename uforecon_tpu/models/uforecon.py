@@ -118,6 +118,8 @@ class UFORecon(nn.Module):
             fused=c.fused_point_head,
             point_head=c.point_head,
             transpose_route=c.transpose_route,
+            image_gather_dtype=(c.image_gather_dtype
+                                if c.extract_geometry else "float32"),
         )
         # NeuS single deviation scalar (single_variance_network.py:5-11)
         self.variance = self.param(
@@ -294,6 +296,9 @@ class UFORecon(nn.Module):
                 points, scene.source_poses, enc.aug0, enc.aug1, nv,
                 n_groups=c.cos_n_group, pair_quirk=c.sim_pair_quirk,
                 fused=c.fused_similarity,
+                source_dtype=(jnp.bfloat16
+                              if (c.image_gather_dtype == "bfloat16"
+                                  and c.extract_geometry) else None),
             )
         if xy is None:
             xy, _, valid = cam_ops.project_points_ndc(scene.source_poses, points)
