@@ -207,8 +207,9 @@ def query_similarity(
         packed = packed.astype(source_dtype)
     sampled = grid_sample_2d_packed(packed, xy,
                                     align_corners=True,
-                                    padding_mode="border"
-                                    ).astype(merged.dtype)  # (NV, ..., (NV-1)C)
+                                    padding_mode="border")  # (NV, ..., (NV-1)C)
+    if source_dtype is not None:
+        sampled = sampled.astype(merged.dtype)
     feat = _pair_cosines(sampled, slots, pairs, n_views, aug0.shape[-1],
                          n_groups, fused)
     return feat, xy, valid
@@ -423,7 +424,12 @@ class RayTransformer(nn.Module):
         if img_feat is None:
             img_feat = grid_sample_2d_packed(
                 src(source_feats), points_xy)               # (NV, RN, SN, C)
-            img_feat = img_feat.astype(source_feats.dtype)
+            if gdt is not None:
+                # cast back only when the bf16-source knob engaged: a
+                # same-dtype astype is NOT free — the extra convert shifts
+                # XLA fusion boundaries enough to move reductions ~1e-4
+                # (caught by test_sharded_train_grads_match_single_device)
+                img_feat = img_feat.astype(source_feats.dtype)
         rgb_src = source_imgs
         if mvs_depths is not None:
             # rgb and the depth guide live at the same full resolution and
@@ -431,7 +437,9 @@ class RayTransformer(nn.Module):
             rgb_src = jnp.concatenate(
                 [source_imgs, mvs_depths[..., None]], axis=-1)
         rgbd = grid_sample_2d_packed(
-            src(rgb_src), points_xy).astype(rgb_src.dtype)  # (NV, RN, SN, 3[+1])
+            src(rgb_src), points_xy)                        # (NV, RN, SN, 3[+1])
+        if gdt is not None:
+            rgbd = rgbd.astype(rgb_src.dtype)
         img_rgb = rgbd[..., :3]
         mask = in_bounds_mask(points_xy) * valid_depth      # (NV, RN, SN)
 
